@@ -31,6 +31,14 @@ import jax.numpy as jnp
 from kaldi_aslp_tpu.models.component import Component, register
 
 
+def _state_like(state, x):
+    """Make a (possibly fresh-zeros) state pytree inherit x's varying mesh
+    axes, so lax.scan carries typecheck under shard_map (adding a [S,1]
+    zero derived from x is a no-op numerically but propagates the VMA)."""
+    z = jnp.zeros_like(x[:, :1, 0])
+    return jax.tree_util.tree_map(lambda s: s + z, state)
+
+
 def _masked(new, old, mask_t):
     """Update state only where mask is 1 (mask_t: [S] or [S,1])."""
     m = mask_t[:, None] if mask_t.ndim == 1 else mask_t
@@ -90,6 +98,7 @@ class LstmProjectedStreams(Component):
         S, T, _ = x.shape
         if state is None:
             state = self.init_state(S)
+        state = _state_like(state, x)
         if mask is None:
             mask = jnp.ones((S, T), jnp.float32)
         # hoisted input projection: one big MXU matmul
@@ -158,6 +167,7 @@ class Lstm(Component):
         S, T, _ = x.shape
         if state is None:
             state = self.init_state(S)
+        state = _state_like(state, x)
         if mask is None:
             mask = jnp.ones((S, T), jnp.float32)
         xg = jnp.einsum("std,gd->stg", x, params["w_gifo_x"],
@@ -197,6 +207,7 @@ class LstmCifgProjectedStreams(LstmProjectedStreams):
         S, T, _ = x.shape
         if state is None:
             state = self.init_state(S)
+        state = _state_like(state, x)
         if mask is None:
             mask = jnp.ones((S, T), jnp.float32)
         xg = jnp.einsum("std,gd->stg", x, params["w_gifo_x"],
@@ -263,6 +274,7 @@ class GruStreams(Component):
         H = self.hidden
         if state is None:
             state = self.init_state(S)
+        state = _state_like(state, x)
         if mask is None:
             mask = jnp.ones((S, T), jnp.float32)
         xg = jnp.einsum("std,gd->stg", x, params["w_zrc_x"],
@@ -324,6 +336,7 @@ class _Bidirectional(Component):
         S, T, _ = x.shape
         if state is None:
             state = self.init_state(S)
+        state = _state_like(state, x)
         y_f, s_f = self.fwd.apply(params["fwd"], x, state["fwd"], mask=mask)
         x_rev = jnp.flip(x, axis=1)
         mask_rev = None if mask is None else jnp.flip(mask, axis=1)
@@ -372,6 +385,7 @@ class BLstmProjectedStreamsLC(_Bidirectional):
         S, T, D = x.shape
         if state is None:
             state = self.init_state(S)
+        state = _state_like(state, x)
         y_f, s_f = self.fwd.apply(params["fwd"], x, state["fwd"], mask=mask)
 
         chunk = self.chunk_size

@@ -92,8 +92,12 @@ def ctc_alpha_beta(
     lp_t = jnp.swapaxes(lp, 0, 1)  # [T, S, U']
     t_range = jnp.arange(T)
 
+    # zero that carries the batch's varying mesh axes so lax.scan carries
+    # typecheck under shard_map (numerically a no-op)
+    vma_zero = jnp.zeros_like(log_probs[:, :1, 0])
+
     # ---- forward ----------------------------------------------------------
-    alpha0 = jnp.full((S, Up), NEG_INF)
+    alpha0 = jnp.full((S, Up), NEG_INF) + vma_zero
     alpha0 = alpha0.at[:, 0].set(lp_t[0, :, 0])
     alpha0 = alpha0.at[:, 1].set(
         jnp.where(label_lengths > 0, lp_t[0, :, 1], NEG_INF)
@@ -135,7 +139,7 @@ def ctc_alpha_beta(
                                    cand, beta_next))
         return beta, beta
 
-    beta_init = jnp.full((S, Up), NEG_INF)
+    beta_init = jnp.full((S, Up), NEG_INF) + vma_zero
     _, betas_rev = jax.lax.scan(
         bwd_step, beta_init, (lp_t[::-1], t_range[::-1])
     )

@@ -1,0 +1,13 @@
+from kaldi_aslp_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated,
+    is_main_host,
+    initialize_distributed,
+)
+from kaldi_aslp_tpu.parallel.bsp import make_bsp_train_step, shard_batch
+from kaldi_aslp_tpu.parallel.bmuf import BmufOptions, BmufState, bmuf_sync
+from kaldi_aslp_tpu.parallel.optimizers import (
+    OptimizerOptions,
+    make_optimizer,
+)

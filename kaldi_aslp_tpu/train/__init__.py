@@ -1,0 +1,11 @@
+from kaldi_aslp_tpu.train.sgd import (
+    NnetTrainOptions,
+    init_velocity,
+    make_sgd_update,
+)
+from kaldi_aslp_tpu.train.newbob import (
+    NewbobOptions,
+    NewbobScheduler,
+    NewbobState,
+)
+from kaldi_aslp_tpu.train.trainer import FrameTrainer, CtcTrainer

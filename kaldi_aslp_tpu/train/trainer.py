@@ -1,0 +1,176 @@
+"""Trainers: frame-level CE/MSE and sequence CTC training loops.
+
+TPU-native equivalents of the reference trainer binaries (reference:
+src/aslp-nnetbin/aslp-nnet-train-simple.cc:31-371 full frame loop,
+aslp-nnet-train-ctc-streams.cc:118-204, the MPI worker loop
+aslp-parallelbin/aslp-nnet-train-lstm-stream-worker.cc).
+
+One jitted train step fuses forward + loss + backward + SGD update; the
+data-parallel variant wraps it in shard_map with pmean'd grads (BSP) —
+see kaldi_aslp_tpu/parallel/."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaldi_aslp_tpu.models.nnet import Nnet
+from kaldi_aslp_tpu.models.losses import (
+    LossReporter,
+    ctc_batch_loss,
+    mse_loss,
+    xent_loss,
+)
+from kaldi_aslp_tpu.train.sgd import (
+    NnetTrainOptions,
+    init_velocity,
+    make_sgd_update,
+)
+from kaldi_aslp_tpu.utils.log import get_logger
+
+logger = get_logger("trainer")
+
+
+class FrameTrainer:
+    """Frame-shuffled CE/MSE training (reference: aslp-nnet-train-simple)."""
+
+    def __init__(self, net: Nnet, opts: Optional[NnetTrainOptions] = None,
+                 objective: str = "xent"):
+        self.net = net
+        self.opts = opts or NnetTrainOptions()
+        self.objective = objective
+        self._update = make_sgd_update(net, self.opts)
+        self._step = jax.jit(self._make_step())
+        self._eval = jax.jit(self._make_eval())
+
+    def _loss(self, logits, targets, weights):
+        if self.objective == "xent":
+            return xent_loss(logits, targets, weights)
+        if self.objective == "mse":
+            return mse_loss(logits, targets, weights)
+        raise ValueError(self.objective)
+
+    def _make_step(self):
+        def step(params, velocity, feats, targets, weights, lr):
+            def loss_fn(p):
+                y, _ = self.net.apply(p, feats, train=True)
+                return self._loss(y, targets, weights)
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            params, velocity = self._update(params, grads, velocity, lr)
+            return params, velocity, loss, aux
+        return step
+
+    def _make_eval(self):
+        def evaluate(params, feats, targets, weights):
+            y, _ = self.net.apply(params, feats, train=False)
+            return self._loss(y, targets, weights)
+        return evaluate
+
+    def train_epoch(
+        self, params, velocity, batches: Iterator, learn_rate: float,
+        reporter: Optional[LossReporter] = None,
+    ):
+        reporter = reporter or LossReporter(self.objective)
+        lr = jnp.asarray(learn_rate, jnp.float32)
+        for batch in batches:
+            feats, targets = batch[0], batch[1]
+            weights = batch[2] if len(batch) > 2 else np.ones(
+                len(feats), np.float32
+            )
+            tgt_dtype = (jnp.int32 if self.objective == "xent"
+                         else jnp.float32)
+            params, velocity, loss, aux = self._step(
+                params, velocity, jnp.asarray(feats),
+                jnp.asarray(targets, tgt_dtype),
+                jnp.asarray(weights, jnp.float32), lr,
+            )
+            reporter.update(aux)
+        return params, velocity, reporter
+
+    def evaluate(self, params, batches: Iterator,
+                 reporter: Optional[LossReporter] = None) -> LossReporter:
+        reporter = reporter or LossReporter(self.objective + "-cv")
+        tgt_dtype = jnp.int32 if self.objective == "xent" else jnp.float32
+        for batch in batches:
+            feats, targets = batch[0], batch[1]
+            weights = batch[2] if len(batch) > 2 else np.ones(
+                len(feats), np.float32
+            )
+            _, aux = self._eval(
+                params, jnp.asarray(feats), jnp.asarray(targets, tgt_dtype),
+                jnp.asarray(weights, jnp.float32),
+            )
+            reporter.update(aux)
+        return reporter
+
+
+class CtcTrainer:
+    """Whole-utterance CTC training (reference:
+    aslp-nnet-train-ctc-streams.cc)."""
+
+    def __init__(self, net: Nnet, opts: Optional[NnetTrainOptions] = None,
+                 blank: int = 0):
+        self.net = net
+        self.opts = opts or NnetTrainOptions()
+        self.blank = blank
+        self._update = make_sgd_update(net, self.opts)
+        self._step = jax.jit(self._make_step())
+        self._eval = jax.jit(self._make_eval())
+
+    def _make_step(self):
+        def step(params, velocity, feats, labels, in_lens, lab_lens,
+                 mask, lr):
+            def loss_fn(p):
+                y, _ = self.net.apply(p, feats, train=True, mask=mask)
+                return ctc_batch_loss(
+                    y, labels, in_lens, lab_lens, self.blank
+                )
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            params, velocity = self._update(params, grads, velocity, lr)
+            return params, velocity, loss, aux
+        return step
+
+    def _make_eval(self):
+        def evaluate(params, feats, labels, in_lens, lab_lens, mask):
+            y, _ = self.net.apply(params, feats, train=False, mask=mask)
+            return ctc_batch_loss(y, labels, in_lens, lab_lens, self.blank)
+        return evaluate
+
+    def train_epoch(self, params, velocity, batches: Iterator,
+                    learn_rate: float,
+                    reporter: Optional[LossReporter] = None):
+        reporter = reporter or LossReporter("ctc")
+        lr = jnp.asarray(learn_rate, jnp.float32)
+        for b in batches:
+            params, velocity, loss, aux = self._step(
+                params, velocity, jnp.asarray(b.feats),
+                jnp.asarray(b.labels), jnp.asarray(b.input_lengths),
+                jnp.asarray(b.label_lengths), jnp.asarray(b.frame_mask), lr,
+            )
+            reporter.update(
+                {"frames": aux["frames"], "loss_sum": aux["loss_sum"]}
+            )
+        return params, velocity, reporter
+
+    def evaluate(self, params, batches: Iterator,
+                 reporter: Optional[LossReporter] = None) -> LossReporter:
+        reporter = reporter or LossReporter("ctc-cv")
+        for b in batches:
+            _, aux = self._eval(
+                params, jnp.asarray(b.feats), jnp.asarray(b.labels),
+                jnp.asarray(b.input_lengths), jnp.asarray(b.label_lengths),
+                jnp.asarray(b.frame_mask),
+            )
+            reporter.update(
+                {"frames": aux["frames"], "loss_sum": aux["loss_sum"]}
+            )
+        return reporter
