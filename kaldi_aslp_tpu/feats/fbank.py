@@ -56,8 +56,22 @@ class Fbank:
         return self.mel_opts.num_bins + (1 if self.opts.use_energy else 0)
 
     def __call__(self, waveform, key: jax.Array | None = None) -> jnp.ndarray:
-        """[num_samples] → [num_frames, dim] on device."""
-        return self._compute(jnp.asarray(waveform, jnp.float32), key)
+        """[num_samples] → [num_frames, dim] on device.
+
+        The waveform is zero-padded to a sample bucket so XLA compiles
+        one kernel per bucket instead of one per utterance length; the
+        true frame count is sliced out (identical values — padded
+        samples only affect frames past the true count)."""
+        from kaldi_aslp_tpu.feats.window import num_frames as _nf
+
+        wav = np.asarray(waveform, np.float32)
+        n_true = _nf(len(wav), self.frame_opts)
+        bucket = int(self.frame_opts.samp_freq)  # 1 s
+        padded = int(np.ceil(max(len(wav), 1) / bucket)) * bucket
+        if padded > len(wav):
+            wav = np.pad(wav, (0, padded - len(wav)))
+        out = self._compute(jnp.asarray(wav), key)
+        return out[:n_true]
 
     @partial(jax.jit, static_argnums=0)
     def _compute(self, waveform: jnp.ndarray, key) -> jnp.ndarray:

@@ -83,7 +83,17 @@ class Mfcc:
         return self.opts.num_ceps
 
     def __call__(self, waveform, key: jax.Array | None = None) -> jnp.ndarray:
-        return self._compute(jnp.asarray(waveform, jnp.float32), key)
+        # bucket-padded like Fbank.__call__ to bound compile count
+        from kaldi_aslp_tpu.feats.window import num_frames as _nf
+
+        wav = np.asarray(waveform, np.float32)
+        n_true = _nf(len(wav), self.frame_opts)
+        bucket = int(self.frame_opts.samp_freq)
+        padded = int(np.ceil(max(len(wav), 1) / bucket)) * bucket
+        if padded > len(wav):
+            wav = np.pad(wav, (0, padded - len(wav)))
+        out = self._compute(jnp.asarray(wav), key)
+        return out[:n_true]
 
     @partial(jax.jit, static_argnums=0)
     def _compute(self, waveform: jnp.ndarray, key) -> jnp.ndarray:

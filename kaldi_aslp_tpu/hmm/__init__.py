@@ -1,0 +1,2 @@
+from kaldi_aslp_tpu.hmm.topology import HmmTopology, HmmState, TopologyEntry
+from kaldi_aslp_tpu.hmm.transition_model import TransitionModel, TransitionState
