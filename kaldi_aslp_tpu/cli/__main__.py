@@ -1,0 +1,52 @@
+"""CLI dispatcher: ``python -m kaldi_aslp_tpu.cli <tool> [args]``.
+
+The tool-name surface mirrors the reference binaries (reference:
+src/featbin/, src/aslp-nnetbin/, src/bin/) so recipe command lines port
+with a prefix swap."""
+
+from __future__ import annotations
+
+import sys
+
+from kaldi_aslp_tpu.cli import feat_tools, nnet_tools
+
+TOOLS = {
+    # featbin
+    "compute-mfcc-feats": feat_tools.compute_mfcc_feats,
+    "compute-fbank-feats": feat_tools.compute_fbank_feats,
+    "copy-feats": feat_tools.copy_feats,
+    "compute-cmvn-stats": feat_tools.compute_cmvn_stats,
+    "apply-cmvn": feat_tools.apply_cmvn_cli,
+    "add-deltas": feat_tools.add_deltas_cli,
+    "splice-feats": feat_tools.splice_feats,
+    "feat-to-dim": feat_tools.feat_to_dim,
+    # aslp-nnetbin
+    "aslp-nnet-init": nnet_tools.nnet_init,
+    "aslp-nnet-info": nnet_tools.nnet_info,
+    "aslp-nnet-copy": nnet_tools.nnet_copy,
+    "aslp-nnet-dot": nnet_tools.nnet_dot,
+    "aslp-nnet-forward": nnet_tools.nnet_forward_cli,
+    # bin / aslp-bin
+    "ali-to-pdf": nnet_tools.ali_to_pdf,
+    "aslp-ali-minus-one": nnet_tools.ali_minus_one,
+    "analyze-counts": nnet_tools.analyze_counts,
+    "compute-wer": nnet_tools.compute_wer,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m kaldi_aslp_tpu.cli <tool> [args]\n"
+              "tools:\n  " + "\n  ".join(sorted(TOOLS)), file=sys.stderr)
+        return 1
+    tool = argv[0]
+    if tool not in TOOLS:
+        print(f"unknown tool {tool!r}; run with --help for the list",
+              file=sys.stderr)
+        return 1
+    return TOOLS[tool](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""NN CLI tools (reference: src/aslp-nnetbin/ — aslp-nnet-init,
+aslp-nnet-info, aslp-nnet-copy, aslp-nnet-dot, aslp-nnet-forward,
+aslp-nnet-train-simple, aslp-nnet-train-ctc-streams; src/bin/
+ali-to-pdf, ali-to-phones, analyze-counts, compute-wer)."""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+import jax
+
+from kaldi_aslp_tpu.utils.config import Config, parse_options
+from kaldi_aslp_tpu.utils.log import get_logger
+from kaldi_aslp_tpu.io import (
+    int_vector_writer,
+    matrix_writer,
+    sequential_int_vector_reader,
+    sequential_matrix_reader,
+    random_access_int_vector_reader,
+    vector_writer,
+)
+from kaldi_aslp_tpu.models import Nnet, LossReporter
+from kaldi_aslp_tpu.decoder.decodable import (
+    NnetForwardOptions,
+    PdfPrior,
+    nnet_forward,
+)
+
+logger = get_logger("cli")
+
+
+def nnet_init(argv):
+    @dataclasses.dataclass
+    class Flags(Config):
+        seed: int = 777
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags], "aslp-nnet-init proto-file model-out", 2, 2
+    )
+    with open(args[0]) as f:
+        net = Nnet.from_proto(f.read())
+    params = net.init(jax.random.PRNGKey(flags.seed))
+    net.save(args[1], params)
+    logger.info("initialized %d components, %d params",
+                net.num_components(), net.num_params(params))
+    return 0
+
+
+def nnet_info(argv):
+    args = parse_options(argv, [], "aslp-nnet-info model", 1, 1)
+    net, params, _ = Nnet.load(args[0])
+    print(net.info(params))
+    return 0
+
+
+def nnet_copy(argv):
+    args = parse_options(argv, [], "aslp-nnet-copy in out", 2, 2)
+    net, params, states = Nnet.load(args[0])
+    net.save(args[1], params, states)
+    return 0
+
+
+def nnet_dot(argv):
+    args = parse_options(argv, [], "aslp-nnet-dot model [dot-out]", 1, 2)
+    net, _, _ = Nnet.load(args[0])
+    dot = net.to_dot()
+    if len(args) > 1:
+        with open(args[1], "w") as f:
+            f.write(dot)
+    else:
+        print(dot)
+    return 0
+
+
+def nnet_forward_cli(argv):
+    opts = NnetForwardOptions()
+
+    @dataclasses.dataclass
+    class Flags(Config):
+        class_frame_counts: str = ""
+        prior_scale: float = 1.0
+
+    flags = Flags()
+    args = parse_options(
+        argv, [opts, flags],
+        "aslp-nnet-forward model feats-rspec loglikes-wspec", 3, 3,
+    )
+    net, params, _ = Nnet.load(args[0])
+    prior = None
+    if flags.class_frame_counts:
+        counts = np.loadtxt(flags.class_frame_counts)
+        prior = PdfPrior(counts, prior_scale=flags.prior_scale)
+    with matrix_writer(args[2]) as w:
+        for utt, feats in sequential_matrix_reader(args[1]):
+            w[utt] = nnet_forward(net, params, feats, opts, prior)
+    return 0
+
+
+def ali_to_pdf(argv):
+    """Needs the transition model — stored with our GMM systems as
+    topology+pdf-map; here the mapping is supplied as a tid→pdf LUT
+    file (one int per line)."""
+    args = parse_options(
+        argv, [], "ali-to-pdf tid-to-pdf.txt ali-rspec pdf-wspec", 3, 3
+    )
+    lut = np.loadtxt(args[0], dtype=np.int32)
+    with int_vector_writer(args[2]) as w:
+        for utt, ali in sequential_int_vector_reader(args[1]):
+            w[utt] = lut[ali]
+    return 0
+
+
+def ali_minus_one(argv):
+    """(reference: aslp-bin/aslp-ali-minus-one.cc) — shift labels so
+    blank becomes 0 for CTC."""
+    args = parse_options(argv, [],
+                         "aslp-ali-minus-one in-rspec out-wspec", 2, 2)
+    with int_vector_writer(args[1]) as w:
+        for utt, ali in sequential_int_vector_reader(args[0]):
+            w[utt] = np.asarray(ali) - 1
+    return 0
+
+
+def analyze_counts(argv):
+    @dataclasses.dataclass
+    class Flags(Config):
+        num_classes: int = 0
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags], "analyze-counts ali-rspec counts-out", 2, 2
+    )
+    counts = np.zeros(max(flags.num_classes, 1), np.float64)
+    for utt, ali in sequential_int_vector_reader(args[0]):
+        m = int(np.max(ali)) + 1 if len(ali) else 0
+        if m > len(counts):
+            counts = np.concatenate([counts, np.zeros(m - len(counts))])
+        np.add.at(counts, np.asarray(ali), 1.0)
+    np.savetxt(args[1], counts[None], fmt="%.1f")
+    return 0
+
+
+def compute_wer(argv):
+    @dataclasses.dataclass
+    class Flags(Config):
+        mode: str = "present"
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags], "compute-wer ark:ref.txt ark:hyp.txt", 2, 2
+    )
+    from kaldi_aslp_tpu.io.datadir import read_key_value
+    from kaldi_aslp_tpu.ops.edit_distance import score_utterances
+
+    def load(spec):
+        path = spec.split(":", 1)[1]
+        return {k: v.split() for k, v in read_key_value(path).items()}
+
+    refs, hyps = load(args[0]), load(args[1])
+    if flags.mode == "present":
+        refs = {k: v for k, v in refs.items() if k in hyps}
+    stats = score_utterances(refs, hyps)
+    print(stats.report())
+    print(f"%SER {stats.ser:.2f} [ {stats.num_wrong_sentences} / "
+          f"{stats.num_sentences} ]")
+    return 0

@@ -1,0 +1,87 @@
+"""CTC decoding graphs: blank-loop token transducer over L∘G.
+
+TPU-native equivalent of the reference's Eesen-style CTC graph chain
+(reference: src/aslp-bin/aslp-make-ctc-transducer.cc:36-120
+MakeCtcLoopFst — an H transducer where each phone token requires one or
+more consecutive frames of that token with optional surrounding blanks
+and a blank self-loop state; aslp_scripts/ctc/make_ctc_graph.sh:56-80).
+
+Output-graph arc ilabels are "ctc-ids": ctc_id = output_index + 1 so 0
+stays epsilon; output_index 0 is the blank.  A LUT maps ctc-ids to
+posterior columns for the Viterbi decoder."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kaldi_aslp_tpu.fst.fst import EPS, Arc, Fst
+from kaldi_aslp_tpu.fst.lang import Lang, make_lexicon_fst
+
+
+def ctc_id_of_output(output_index: int) -> int:
+    return output_index + 1
+
+
+def ctc_lut(num_outputs: int) -> np.ndarray:
+    """tid→posterior-column LUT for ViterbiDecoder (index 0 unused)."""
+    lut = np.zeros(num_outputs + 1, np.int32)
+    lut[1:] = np.arange(num_outputs)
+    return lut
+
+
+def expand_ctc(lg: Fst, phone_to_output) -> Fst:
+    """Replace each phone arc of LG with the CTC token structure:
+
+        junction --(blank* )--> [tok]+ --> next junction
+
+    i.e. at every LG state a blank self-loop, and each phone arc becomes
+    a token state with a self-loop (token repetition) entered by one
+    token frame.  Repeated identical phones are naturally separated
+    because each arc instance owns a distinct token state (the blank
+    between repeats is optional in this construction when states differ,
+    mandatory when collapsing would merge — matching MakeCtcLoopFst).
+
+    phone_to_output: phone symbol id → CTC output index (blank=0)."""
+    out = Fst()
+    state_map = [out.add_state() for _ in range(lg.num_states)]
+    out.set_start(state_map[lg.start])
+    blank = ctc_id_of_output(0)
+    for s, w in lg.finals.items():
+        out.set_final(state_map[s], w)
+    for s in range(lg.num_states):
+        # blank self-loop at every junction
+        out.add_arc(state_map[s], Arc(blank, EPS, 0.0, state_map[s]))
+        for arc in lg.arcs[s]:
+            if arc.ilabel == EPS:
+                out.add_arc(state_map[s],
+                            Arc(EPS, arc.olabel, arc.weight,
+                                state_map[arc.nextstate]))
+                continue
+            tok = ctc_id_of_output(phone_to_output(arc.ilabel))
+            tok_state = out.add_state()
+            # first frame of the token (carries word label + LM weight)
+            out.add_arc(state_map[s],
+                        Arc(tok, arc.olabel, arc.weight, tok_state))
+            # token repetition
+            out.add_arc(tok_state, Arc(tok, EPS, 0.0, tok_state))
+            # leave token (free)
+            out.add_arc(tok_state, Arc(EPS, EPS, 0.0,
+                                       state_map[arc.nextstate]))
+    return out.connect()
+
+
+def make_ctc_decode_graph(lang: Lang, G: Fst,
+                          phone_to_output=None,
+                          sil_prob: float = 0.0) -> Fst:
+    """TLG (reference: make_ctc_graph.sh): L∘G then CTC token expansion.
+
+    Default phone→output mapping follows the ASLP convention
+    (aslp-ali-minus-one): output_index = phone_id (phones are 1-based,
+    blank takes index 0)."""
+    if phone_to_output is None:
+        phone_to_output = lambda ph: ph
+    L = make_lexicon_fst(lang, sil_prob=sil_prob).arc_sort("olabel") \
+        if sil_prob > 0 else make_lexicon_fst(lang, sil_prob=1e-7
+                                              ).arc_sort("olabel")
+    lg = L.compose(G)
+    return expand_ctc(lg, phone_to_output)

@@ -1,0 +1,5 @@
+from kaldi_aslp_tpu.kws.kws import (
+    KwsOptions,
+    KeywordResult,
+    KeywordSpotter,
+)

@@ -1,0 +1,14 @@
+from kaldi_aslp_tpu.online.feature_pipeline import (
+    OnlineFeatureOptions,
+    OnlineFeaturePipeline,
+)
+from kaldi_aslp_tpu.online.endpoint import (
+    OnlineEndpointConfig,
+    EndpointRule,
+    endpoint_detected,
+)
+from kaldi_aslp_tpu.online.server import (
+    DecodeSession,
+    OnlineServerOptions,
+    OnlineTcpServer,
+)
