@@ -23,3 +23,13 @@ from kaldi_aslp_tpu.feats.pipeline import (
     FeaturePipelineOptions,
     compute_cmvn_stats_per_spk,
 )
+from kaldi_aslp_tpu.feats.transforms import (
+    LdaStats,
+    estimate_lda,
+    MlltStats,
+    estimate_mllt,
+    FmllrStats,
+    estimate_fmllr,
+    apply_transform,
+    gmm_gammas_for_alignment,
+)

@@ -71,6 +71,69 @@ def make_decode_graph(lang: Lang, G: Fst,
     return expand_hmm(lg, trans_model)
 
 
+def expand_hmm_cd(clg: Fst, trans_model: TransitionModel,
+                  windows, tree) -> Fst:
+    """H expansion for context-dependent graphs: CLG arcs carry context
+    window ids; pdfs come from the decision tree
+    (reference: make-h-transducer on the CLG side of mkgraph.sh).
+
+    windows: ContextWindows table from compose_context; tree:
+    ContextDependency."""
+    out = Fst()
+    state_map = [out.add_state() for _ in range(clg.num_states)]
+    out.set_start(state_map[clg.start])
+    for s, w in clg.finals.items():
+        out.set_final(state_map[s], w)
+    central = tree.central_position
+    for s in range(clg.num_states):
+        for arc in clg.arcs[s]:
+            if arc.ilabel == EPS:
+                out.add_arc(state_map[s],
+                            Arc(EPS, arc.olabel, arc.weight,
+                                state_map[arc.nextstate]))
+                continue
+            window = windows.window(arc.ilabel)
+            phone = window[central]
+            entry = trans_model.topo.entry(phone)
+            n_emit = entry.num_emitting
+            internal = [out.add_state() for _ in range(n_emit)]
+
+            def dest_state(topo_dest: int) -> int:
+                if topo_dest < n_emit:
+                    return internal[topo_dest]
+                return state_map[arc.nextstate]
+
+            out.add_arc(state_map[s],
+                        Arc(EPS, arc.olabel, arc.weight, internal[0]))
+            for i in range(n_emit):
+                pdf = tree.compute(window, entry.states[i].pdf_class)
+                ts = trans_model.transition_state(phone, i, pdf)
+                for ai, (dest, _p) in enumerate(trans_model.arcs_of(ts)):
+                    tid = trans_model.pair_to_tid(ts, ai)
+                    cost = -float(trans_model.log_probs[tid])
+                    out.add_arc(internal[i],
+                                Arc(tid, EPS, cost, dest_state(dest)))
+    return out.connect()
+
+
+def triples_from_tree(topo, tree, windows) -> list:
+    """Enumerate (phone, hmm_state, pdf) triples the tree produces over
+    the given context windows (reference: transition-model.cc
+    ComputeTriples via GetPdfInfo)."""
+    triples = set()
+    central = tree.central_position
+    for window in windows.all_windows():
+        phone = window[central]
+        entry = topo.entry(phone)
+        for hmm_state, st in enumerate(entry.states):
+            if st.pdf_class < 0:
+                continue
+            triples.add(
+                (phone, hmm_state, tree.compute(window, st.pdf_class))
+            )
+    return sorted(triples)
+
+
 class TrainingGraphCompiler:
     """Per-utterance alignment graphs (reference:
     src/decoder/training-graph-compiler.h).

@@ -15,7 +15,7 @@ Probabilities are MLE-trained from transition counts
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -31,31 +31,46 @@ class TransitionState:
 
 class TransitionModel:
     def __init__(self, topo: HmmTopology,
-                 pdf_map: Callable[[int, int], int]):
-        """pdf_map(phone, pdf_class) → pdf-id (the ContextDependency
-        equivalent for monophone/CD trees)."""
+                 pdf_map: Optional[Callable[[int, int], int]] = None,
+                 triples: Optional[List[Tuple[int, int, int]]] = None):
+        """Build from either pdf_map(phone, pdf_class) → pdf (monophone
+        path, reference: gmm-init-mono) or an explicit sorted list of
+        (phone, hmm_state, pdf) triples (context-dependent path,
+        reference: transition-model.cc ComputeTriples via the tree)."""
         self.topo = topo
         self.states: List[TransitionState] = [None]  # 1-based
-        self._state_index: Dict[Tuple[int, int], int] = {}
+        self._state_index: Dict[Tuple[int, int, int], int] = {}
         # per transition-state: start transition-id and arc list
         self._tid_start: List[int] = [0]
         self._arcs: List[List[Tuple[int, float]]] = [[]]
+        if triples is None:
+            if pdf_map is None:
+                raise ValueError("need pdf_map or triples")
+            triples = []
+            for phone in topo.phones:
+                entry = topo.entry(phone)
+                for hmm_state, st in enumerate(entry.states):
+                    if st.pdf_class < 0:
+                        continue
+                    triples.append(
+                        (phone, hmm_state, pdf_map(phone, st.pdf_class))
+                    )
         tid = 1
-        for phone in topo.phones:
-            entry = topo.entry(phone)
-            for hmm_state, st in enumerate(entry.states):
-                if st.pdf_class < 0:
-                    continue
-                pdf = pdf_map(phone, st.pdf_class)
-                self.states.append(TransitionState(phone, hmm_state, pdf))
-                self._state_index[(phone, hmm_state)] = len(self.states) - 1
-                self._tid_start.append(tid)
-                self._arcs.append(list(st.transitions))
-                tid += len(st.transitions)
+        for (phone, hmm_state, pdf) in sorted(set(triples)):
+            st = topo.entry(phone).states[hmm_state]
+            self.states.append(TransitionState(phone, hmm_state, pdf))
+            self._state_index[(phone, hmm_state, pdf)] = \
+                len(self.states) - 1
+            self._tid_start.append(tid)
+            self._arcs.append(list(st.transitions))
+            tid += len(st.transitions)
         self.num_transition_ids = tid - 1
         self.num_pdfs = 1 + max(
             (s.pdf for s in self.states[1:]), default=-1
         )
+        self._pair_index: Dict[Tuple[int, int], List[int]] = {}
+        for (phone, hmm_state, _pdf), i in self._state_index.items():
+            self._pair_index.setdefault((phone, hmm_state), []).append(i)
         # log transition probabilities, initialized from topology priors
         self.log_probs = np.zeros(self.num_transition_ids + 1, np.float32)
         for ts in range(1, len(self.states)):
@@ -65,8 +80,20 @@ class TransitionModel:
                 )
 
     # -- lookups (reference: transition-model.h accessors) ------------------
+    def transition_state(self, phone: int, hmm_state: int,
+                         pdf: int) -> int:
+        """(reference: TripleToTransitionState)."""
+        return self._state_index[(phone, hmm_state, pdf)]
+
     def transition_state_of(self, phone: int, hmm_state: int) -> int:
-        return self._state_index[(phone, hmm_state)]
+        """Monophone convenience: unique pdf per (phone, hmm_state)."""
+        matches = self._pair_index[(phone, hmm_state)]
+        if len(matches) != 1:
+            raise KeyError(
+                f"({phone},{hmm_state}) maps to {len(matches)} "
+                "transition states; use transition_state(phone, state, pdf)"
+            )
+        return matches[0]
 
     def pair_to_tid(self, trans_state: int, arc_index: int) -> int:
         return self._tid_start[trans_state] + arc_index
@@ -133,6 +160,18 @@ class TransitionModel:
             if st.hmm_state == 0 and not self.is_self_loop(int(tid)):
                 out.append(st.phone)
         return np.asarray(out, np.int32)
+
+    def alignment_to_phone_pdfclass(self, ali: np.ndarray):
+        """Per-frame (phone, pdf_class) arrays (tree-stats input,
+        reference: acc-tree-stats.cc)."""
+        phones = np.zeros(len(ali), np.int32)
+        pdf_classes = np.zeros(len(ali), np.int32)
+        for i, tid in enumerate(np.asarray(ali)):
+            ts = self.states[self.tid_to_state(int(tid))]
+            phones[i] = ts.phone
+            pdf_classes[i] = self.topo.entry(ts.phone).states[
+                ts.hmm_state].pdf_class
+        return phones, pdf_classes
 
     # -- MLE update ---------------------------------------------------------
     def accumulate(self, ali: np.ndarray,

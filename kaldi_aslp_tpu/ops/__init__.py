@@ -11,3 +11,4 @@ from kaldi_aslp_tpu.ops.edit_distance import (
     score_utterances,
     ErrorStats,
 )
+from kaldi_aslp_tpu.ops.segment import ForwardMaxMatch
