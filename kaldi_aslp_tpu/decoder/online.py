@@ -63,7 +63,7 @@ class OnlineViterbiDecoder(ViterbiDecoder):
         ll[:T] = loglikes
         valid = np.zeros(Tp, np.float32)
         valid[:T] = 1.0
-        scores, bps = _viterbi_scan(
+        scores, bps, _alphas = _viterbi_scan(
             jnp.asarray(ll), jnp.asarray(self._scores),
             jnp.asarray(em_src), jnp.asarray(em_dst),
             jnp.asarray(self.tid_to_pdf[em_il]),

@@ -166,7 +166,7 @@ def _viterbi_scan(
     final_scores, (all_scores, bps) = jax.lax.scan(
         frame, init_scores, (loglikes, valid > 0)
     )
-    return final_scores, bps
+    return final_scores, bps, all_scores
 
 
 class ViterbiDecoder:
@@ -241,7 +241,7 @@ class ViterbiDecoder:
             ll[:T] = loglikes
             valid = np.zeros(Tp, np.float32)
             valid[:T] = 1.0
-            final_scores, bps = _viterbi_scan(
+            final_scores, bps, _alphas = _viterbi_scan(
                 jnp.asarray(ll), jnp.asarray(init),
                 jnp.asarray(em_src), jnp.asarray(em_dst),
                 jnp.asarray(self.tid_to_pdf[em_il]),

@@ -31,6 +31,22 @@ import jax.numpy as jnp
 from kaldi_aslp_tpu.models.component import Component, register
 
 
+
+def _mm(a, b, dtype=None):
+    """Matmul with optional bf16 inputs + f32 accumulation (MXU path)."""
+    if dtype is not None:
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _einsum_stg(x, w, dtype=None):
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    return jnp.einsum("std,gd->stg", x, w,
+                      preferred_element_type=jnp.float32)
+
 def _state_like(state, x):
     """Make a (possibly fresh-zeros) state pytree inherit x's varying mesh
     axes, so lax.scan carries typecheck under shard_map (adding a [S,1]
@@ -67,6 +83,8 @@ class LstmProjectedStreams(Component):
         self.cell_dim = int(attrs.get("cell_dim", output_dim))
         self.proj_dim = int(output_dim)
         self.cell_clip = float(attrs.get("cell_clip", 50.0))
+        self.compute_dtype = (jnp.bfloat16 if attrs.get("bf16", False)
+                              else None)
 
     def init_params(self, key):
         ks = jax.random.split(key, 6)
@@ -102,15 +120,15 @@ class LstmProjectedStreams(Component):
         if mask is None:
             mask = jnp.ones((S, T), jnp.float32)
         # hoisted input projection: one big MXU matmul
-        xg = jnp.einsum("std,gd->stg", x, params["w_gifo_x"],
-                        preferred_element_type=jnp.float32) + params["bias"]
+        dt = getattr(self, "compute_dtype", None)
+        xg = _einsum_stg(x, params["w_gifo_x"], dt) + params["bias"]
         clip = self.cell_clip
+        w_gifo_r_T = params["w_gifo_r"].T
 
         def step(carry, inp):
             c_prev, r_prev = carry
             xg_t, m_t = inp
-            gates = xg_t + jnp.dot(r_prev, params["w_gifo_r"].T,
-                                   preferred_element_type=jnp.float32)
+            gates = xg_t + _mm(r_prev, w_gifo_r_T, dt)
             g, i, f, o = _split4(gates)
             i = jax.nn.sigmoid(i + params["peephole_i_c"] * c_prev)
             f = jax.nn.sigmoid(f + params["peephole_f_c"] * c_prev)
@@ -119,8 +137,7 @@ class LstmProjectedStreams(Component):
                 c = jnp.clip(c, -clip, clip)
             o = jax.nn.sigmoid(o + params["peephole_o_c"] * c)
             m = o * jnp.tanh(c)
-            r = jnp.dot(m, params["w_r_m"].T,
-                        preferred_element_type=jnp.float32)
+            r = _mm(m, params["w_r_m"].T, dt)
             c = _masked(c, c_prev, m_t)
             r = _masked(r, r_prev, m_t)
             return (c, r), r * (m_t[:, None] if m_t.ndim == 1 else m_t)

@@ -1,0 +1,175 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference's runtime around the compute path is C++ (Table I/O,
+data loading — reference: src/util/); these are the TPU-framework
+equivalents.  Built on first use with the system compiler into
+``~/.cache/kaldi_aslp_tpu``; every entry point has a pure-Python
+fallback so the package works without a toolchain."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+class ArkEntryStruct(ctypes.Structure):
+    _fields_ = [
+        ("key_off", ctypes.c_int64),
+        ("key_len", ctypes.c_int32),
+        ("kind", ctypes.c_int32),
+        ("data_off", ctypes.c_int64),
+        ("rows", ctypes.c_int32),
+        ("cols", ctypes.c_int32),
+    ]
+
+
+def _build() -> Optional[str]:
+    src = os.path.join(os.path.dirname(__file__), "ark_scan.cc")
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "kaldi_aslp_tpu"
+    )
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, "libark_scan.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    for cxx in ("c++", "g++", "clang++"):
+        try:
+            subprocess.run(
+                [cxx, "-O2", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True,
+            )
+            return so
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            continue
+    return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        so = _build()
+        if so is not None:
+            lib = ctypes.CDLL(so)
+            lib.ark_scan.restype = ctypes.c_int64
+            lib.ark_scan.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ArkEntryStruct), ctypes.c_int64,
+            ]
+            lib.gather_rows_f32.restype = None
+            lib.gather_rows_f32.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            _LIB = lib
+    return _LIB
+
+
+KIND_FM, KIND_DM, KIND_FV, KIND_IV = 1, 2, 3, 4
+KIND_CM, KIND_CM2, KIND_CM3 = 5, 6, 7
+
+
+class FastArkReader:
+    """Zero-copy ark access: one native scan, then numpy views.
+
+    Falls back to the Python table reader when no compiler is present."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        self._entries = {}
+        lib = get_lib()
+        if lib is not None:
+            self._scan_native(lib)
+        else:  # pragma: no cover - toolchain always present in CI
+            self._scan_python()
+
+    def _scan_native(self, lib) -> None:
+        cap = 4096
+        arr = (ArkEntryStruct * cap)()
+        n = lib.ark_scan(self._buf, len(self._buf), arr, cap)
+        while n == -2:
+            cap *= 4
+            arr = (ArkEntryStruct * cap)()
+            n = lib.ark_scan(self._buf, len(self._buf), arr, cap)
+        if n < 0:
+            raise IOError(f"native ark scan failed on {self.path}")
+        for i in range(n):
+            e = arr[i]
+            key = self._buf[e.key_off:e.key_off + e.key_len].decode()
+            self._entries[key] = (e.kind, e.data_off, e.rows, e.cols)
+
+    def _scan_python(self) -> None:
+        import io
+        from kaldi_aslp_tpu.io.table import (
+            MatrixHolder, _read_key,
+        )
+        f = io.BytesIO(self._buf)
+        holder = MatrixHolder()
+        while True:
+            key = _read_key(f)
+            if key is None:
+                break
+            start = f.tell()
+            value = holder.read_entry(f)
+            self._entries[key] = ("py", start, value)
+
+    def keys(self):
+        return list(self._entries)
+
+    def __contains__(self, key):
+        return key in self._entries
+
+    def __getitem__(self, key) -> np.ndarray:
+        e = self._entries[key]
+        if e[0] == "py":
+            return e[2]
+        kind, off, rows, cols = e
+        buf = self._buf
+        if kind == KIND_FM:
+            return np.frombuffer(buf, dtype="<f4", count=rows * cols,
+                                 offset=off).reshape(rows, cols)
+        if kind == KIND_DM:
+            return np.frombuffer(buf, dtype="<f8", count=rows * cols,
+                                 offset=off).reshape(rows, cols)
+        if kind == KIND_FV:
+            return np.frombuffer(buf, dtype="<f4", count=rows,
+                                 offset=off)
+        if kind == KIND_IV:
+            return np.frombuffer(buf, dtype="<i4", count=rows,
+                                 offset=off)
+        # compressed: reuse the python decoder on a slice
+        import io as _io
+        from kaldi_aslp_tpu.io import kaldi_io
+        token = {KIND_CM: 1, KIND_CM2: 2, KIND_CM3: 3}[kind]
+        return kaldi_io._read_compressed_matrix(
+            _io.BytesIO(buf[off:]), token
+        )
+
+    def gather_rows(self, key: str, row_indices: np.ndarray
+                    ) -> np.ndarray:
+        """Native row gather for minibatch assembly (FM entries)."""
+        e = self._entries[key]
+        lib = get_lib()
+        if e[0] == "py" or lib is None or e[0] != KIND_FM:
+            return np.ascontiguousarray(self[key][row_indices])
+        kind, off, rows, cols = e
+        idx = np.ascontiguousarray(row_indices, np.int64)
+        out = np.empty((len(idx), cols), np.float32)
+        lib.gather_rows_f32(
+            self._buf, off, cols,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
