@@ -33,9 +33,18 @@ def main():
         make_sgd_update,
     )
 
-    S, T, U, D, V = 32, 400, 40, 40, 72
-    net = build_blstm_ctc(input_dim=D, num_layers=3, proj_dim=320,
-                          cell_dim=512, num_targets=V)
+    S, T, U, D, V = 128, 400, 40, 40, 72
+    from kaldi_aslp_tpu.models.nnet import Nnet
+    from kaldi_aslp_tpu.models.simple import AffineTransform
+    from kaldi_aslp_tpu.models.recurrent import BLstmProjectedStreams
+
+    net = Nnet()
+    dim = D
+    for _ in range(3):
+        net.add(BLstmProjectedStreams(dim, 640, cell_dim=512, bf16=True))
+        dim = 640
+    net.add(AffineTransform(dim, V, param_stddev=0.04, bias_mean=0.0,
+                            bias_range=0.0))
     params = net.init(jax.random.PRNGKey(0))
     velocity = init_velocity(params)
     update = make_sgd_update(net, NnetTrainOptions(momentum=0.9))

@@ -8,9 +8,13 @@ from __future__ import annotations
 
 import sys
 
-from kaldi_aslp_tpu.cli import feat_tools, nnet_tools
+from kaldi_aslp_tpu.cli import feat_tools, nnet_tools, train_tools
 
 TOOLS = {
+    # aslp-nnetbin trainers
+    "aslp-nnet-train-simple": train_tools.nnet_train_simple,
+    "aslp-nnet-train-ctc-streams": train_tools.nnet_train_ctc_streams,
+    "aslp-nnet-train-lstm-streams": train_tools.nnet_train_lstm_streams,
     # featbin
     "compute-mfcc-feats": feat_tools.compute_mfcc_feats,
     "compute-fbank-feats": feat_tools.compute_fbank_feats,

@@ -33,3 +33,4 @@ from kaldi_aslp_tpu.feats.transforms import (
     apply_transform,
     gmm_gammas_for_alignment,
 )
+from kaldi_aslp_tpu.feats.plp import Plp, PlpOptions, Spectrogram
