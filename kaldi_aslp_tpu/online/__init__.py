@@ -12,3 +12,4 @@ from kaldi_aslp_tpu.online.server import (
     OnlineServerOptions,
     OnlineTcpServer,
 )
+from kaldi_aslp_tpu.online.vad_pipeline import OnlineVadFeaturePipeline

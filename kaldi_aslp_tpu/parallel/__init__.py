@@ -11,3 +11,4 @@ from kaldi_aslp_tpu.parallel.optimizers import (
     OptimizerOptions,
     make_optimizer,
 )
+from kaldi_aslp_tpu.parallel.sod import SodState, sod_sync, model_average_sync

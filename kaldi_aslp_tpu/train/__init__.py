@@ -9,3 +9,4 @@ from kaldi_aslp_tpu.train.newbob import (
     NewbobState,
 )
 from kaldi_aslp_tpu.train.trainer import FrameTrainer, CtcTrainer
+from kaldi_aslp_tpu.train.checkpoint import save_checkpoint, load_checkpoint
