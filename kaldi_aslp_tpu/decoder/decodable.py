@@ -38,12 +38,13 @@ class PdfPrior:
                  prior_floor: float = 1e-10):
         counts = np.asarray(counts, np.float64)
         rel = counts / max(counts.sum(), 1.0)
-        # floor low/zero-count pdfs to avoid -inf blowups (the reference
-        # sets them to +1e10 effectively removing those pdfs)
+        # zero/low-count pdfs get a huge POSITIVE log-prior so the
+        # subtraction drives their pseudo-loglike to -inf, removing them
+        # from the search (reference: nnet-pdf-prior.cc sets 1e10)
         self.log_priors = np.where(
-            rel < prior_floor, np.log(prior_floor) * 2,
-            np.log(np.maximum(rel, prior_floor)),
-        ).astype(np.float32) * prior_scale
+            rel < prior_floor, 1e10,
+            np.log(np.maximum(rel, prior_floor)) * prior_scale,
+        ).astype(np.float32)
 
     @classmethod
     def from_alignments(cls, alignments: Dict[str, np.ndarray],

@@ -178,10 +178,21 @@ class ViterbiDecoder:
     semantics)."""
 
     def __init__(self, graph: PackedGraph, tid_to_pdf: np.ndarray,
-                 acoustic_scale: float = 1.0):
+                 acoustic_scale: float = 1.0,
+                 word_ins_penalty: float = 0.0):
         self.graph = graph
         self.tid_to_pdf = np.asarray(tid_to_pdf, np.int32)
         self.acoustic_scale = float(acoustic_scale)
+        if word_ins_penalty:
+            # extra cost on every word-emitting arc (reference:
+            # --word-ins-penalty in the scoring sweep)
+            graph = PackedGraph(
+                graph.src, graph.dst, graph.ilabel, graph.olabel,
+                graph.weight + word_ins_penalty * (graph.olabel > 0),
+                graph.final, graph.start, graph.num_states,
+                graph.eps_diameter,
+            )
+            self.graph = graph
         self._em, self._ep = _split(graph)
         # bucket arc counts and state count so graphs of similar size
         # share one XLA compile (padding arcs have huge cost → no-ops)
@@ -296,24 +307,61 @@ def equal_align(graph_fst: Fst, trans_model, num_frames: int,
                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
     """Uniform initial alignment (reference: bin/align-equal-compiled.cc):
     pick a path through the graph and stretch it over num_frames by
-    inserting self-loops."""
-    # find a shortest (fewest emitting arcs) accepting path via BFS
-    from collections import deque
+    inserting self-loops.
 
+    The path chosen is the LONGEST acyclic path fitting num_frames, so
+    optional-silence branches are taken and silence models receive
+    occupancy from iteration 0 (the reference gets this from its random
+    path choice + --boost-silence)."""
+    # longest-emitting-arcs path over the graph's DFS-forward DAG
+    # (back edges — e.g. the 5-state silence topology's backward
+    # transitions — are dropped; they never extend a simple path anyway)
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = {graph_fst.start: GRAY}
+    order = []
+    dag_arcs = []  # (src, arc) with no self-loops / back edges
+    stack = [(graph_fst.start, iter(graph_fst.arcs[graph_fst.start]))]
+    while stack:
+        s, it = stack[-1]
+        advanced = False
+        for a in it:
+            if a.nextstate == s:
+                continue
+            c = color.get(a.nextstate, WHITE)
+            if c == GRAY:
+                continue  # back edge
+            dag_arcs.append((s, a))
+            if c == WHITE:
+                color[a.nextstate] = GRAY
+                stack.append(
+                    (a.nextstate, iter(graph_fst.arcs[a.nextstate]))
+                )
+                advanced = True
+                break
+        if not advanced:
+            color[s] = BLACK
+            order.append(s)
+            stack.pop()
+    topo_pos = {s: i for i, s in enumerate(reversed(order))}
+    dag_by_src: Dict[int, list] = {}
+    for s, a in dag_arcs:
+        dag_by_src.setdefault(s, []).append(a)
+    best_len: Dict[int, int] = {graph_fst.start: 0}
     prev: Dict[int, Tuple[int, "object"]] = {graph_fst.start: (-1, None)}
-    queue = deque([graph_fst.start])
-    end = None
-    while queue:
-        s = queue.popleft()
-        if graph_fst.is_final(s):
-            end = s
-            break
-        for a in graph_fst.arcs[s]:
-            if a.nextstate not in prev:
+    for s in sorted(topo_pos, key=topo_pos.get):
+        if s not in best_len:
+            continue
+        for a in dag_by_src.get(s, ()):
+            emit = 1 if a.ilabel > 0 else 0
+            cand = best_len[s] + emit
+            if cand > best_len.get(a.nextstate, -1) and \
+                    cand <= num_frames:
+                best_len[a.nextstate] = cand
                 prev[a.nextstate] = (s, a)
-                queue.append(a.nextstate)
-    if end is None:
-        raise RuntimeError("graph has no accepting path")
+    finals = [s for s in graph_fst.finals if s in best_len]
+    if not finals:
+        raise RuntimeError("graph has no accepting path within frames")
+    end = max(finals, key=lambda s: best_len[s])
     path = []
     s = end
     while prev[s][1] is not None:

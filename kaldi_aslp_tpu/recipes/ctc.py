@@ -1,0 +1,171 @@
+"""Phone-CTC training recipe: the aslp_scripts/ctc chain.
+
+TPU-native equivalent of the reference CTC pipeline (reference:
+aslp_scripts/ctc/prepare_mono_phone_ctc.sh — phone labels shifted so
+blank=0 (aslp-ali-minus-one); train_scheduler_ctc.sh per-epoch CTC
+training; make_ctc_graph.sh TLG; Eesen-style decode).
+
+Labels come straight from word transcripts through the lexicon (the
+reference derives them from GMM alignments via ali-to-phones; with the
+lexicon the phone sequence is identical up to silence, which CTC's
+blank absorbs)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kaldi_aslp_tpu.utils.config import Config
+from kaldi_aslp_tpu.utils.log import get_logger
+from kaldi_aslp_tpu.fst import Lang, make_unigram_grammar
+from kaldi_aslp_tpu.fst.fst import Fst
+from kaldi_aslp_tpu.fst.ctc_graph import ctc_lut, make_ctc_decode_graph
+from kaldi_aslp_tpu.models import Nnet
+from kaldi_aslp_tpu.models.simple import AffineTransform
+from kaldi_aslp_tpu.models.recurrent import BLstm, Lstm
+from kaldi_aslp_tpu.train import (
+    CtcTrainer,
+    NewbobOptions,
+    NewbobScheduler,
+    NnetTrainOptions,
+    init_velocity,
+)
+from kaldi_aslp_tpu.data.sequence import CtcBatcher, CtcBatcherOptions
+from kaldi_aslp_tpu.decoder import PackedGraph, ViterbiDecoder
+from kaldi_aslp_tpu.ops.edit_distance import ErrorStats, score_utterances
+
+logger = get_logger("ctc-recipe")
+
+
+@dataclasses.dataclass
+class CtcRecipeOptions(Config):
+    model_type: str = "blstm"   # lstm | blstm
+    hidden_dim: int = 64
+    num_layers: int = 2
+    learn_rate: float = 0.01
+    momentum: float = 0.9
+    max_iters: int = 12
+    num_streams: int = 8
+    acoustic_scale: float = 1.0
+    # Eesen-style decode: divide posteriors by their training-set
+    # average (reference: aslp-nnet-forward --class-frame-counts +
+    # --scale-blank roles); 0 disables
+    prior_scale: float = 1.0
+
+
+class CtcRecipe:
+    def __init__(self, lang: Lang,
+                 opts: Optional[CtcRecipeOptions] = None):
+        self.lang = lang
+        self.opts = opts or CtcRecipeOptions()
+        # CTC inventory: blank=0, outputs 1..N = phone ids (the
+        # ali-minus-one convention with our 1-based phone symbols)
+        self.num_outputs = len(lang.phones) + 1 - 1  # ids are 1..N; +blank
+
+    def phone_labels(self, words: List[str]) -> np.ndarray:
+        """Transcript → phone-id label sequence (blank-0 convention)."""
+        seq: List[int] = []
+        for w in words:
+            pron = self.lang.lexicon.prons[w][0]
+            seq.extend(self.lang.phones.id(p) for p in pron)
+        return np.asarray(seq, np.int32)
+
+    def run(
+        self,
+        train_feats: Dict[str, np.ndarray],
+        train_texts: Dict[str, List[str]],
+        test_feats: Dict[str, np.ndarray],
+        test_texts: Dict[str, List[str]],
+        grammar: Optional[Fst] = None,
+        work_dir: str = "exp_ctc",
+    ) -> ErrorStats:
+        opts = self.opts
+        V = len(self.lang.phones) + 1  # blank + phones (ids 1..N)
+        dim = next(iter(train_feats.values())).shape[1]
+        net = self._build_net(dim, V)
+        params = net.init(jax.random.PRNGKey(777))
+        velocity = init_velocity(params)
+        trainer = CtcTrainer(net, NnetTrainOptions(momentum=opts.momentum))
+        sched = NewbobScheduler(work_dir, initial_lr=opts.learn_rate,
+                                opts=NewbobOptions(max_iters=opts.max_iters))
+
+        utts = sorted(train_feats)
+        cv_utts = utts[: max(1, len(utts) // 10)]
+        tr_utts = utts[len(cv_utts):]
+
+        def batches(utt_list):
+            src = ((u, train_feats[u],
+                    self.phone_labels(train_texts[u]))
+                   for u in utt_list)
+            return list(CtcBatcher(
+                src, CtcBatcherOptions(num_streams=opts.num_streams)
+            ))
+
+        tr_batches = batches(tr_utts)
+        cv_batches = batches(cv_utts)
+        best = params
+        while not sched.done:
+            params, velocity, rep = trainer.train_epoch(
+                best, velocity, tr_batches, sched.learn_rate
+            )
+            cv = trainer.evaluate(params, cv_batches)
+            accepted = sched.report(cv.avg_loss)
+            logger.info("iter %d lr %.5f tr %.4f cv %.4f %s",
+                        sched.state.iter, sched.learn_rate,
+                        rep.avg_loss, cv.avg_loss,
+                        "ACCEPT" if accepted else "REJECT")
+            if accepted:
+                best = params
+
+        if grammar is None:
+            words = sorted({w for t in train_texts.values() for w in t})
+            grammar = make_unigram_grammar(
+                {w: 1.0 / len(words) for w in words}, self.lang.words
+            )
+        tlg = make_ctc_decode_graph(self.lang, grammar)
+        dec = ViterbiDecoder(
+            PackedGraph.from_fst(tlg), ctc_lut(V),
+            acoustic_scale=opts.acoustic_scale,
+        )
+        # posterior priors over the training set for Eesen-style
+        # prior-divided decoding
+        log_priors = np.zeros(V, np.float32)
+        if opts.prior_scale > 0:
+            acc = np.zeros(V, np.float64)
+            n = 0
+            for u in sorted(train_feats):
+                y, _ = net.apply(best, jnp.asarray(
+                    train_feats[u][None, ...]))
+                acc += np.asarray(jax.nn.softmax(y[0], -1)).sum(0)
+                n += len(train_feats[u])
+            log_priors = (opts.prior_scale * np.log(
+                np.maximum(acc / n, 1e-10))).astype(np.float32)
+        hyps = {}
+        for u, feats in test_feats.items():
+            y, _ = net.apply(best, jnp.asarray(feats[None, ...]))
+            logp = np.asarray(jax.nn.log_softmax(y[0], axis=-1))
+            logp = logp - log_priors
+            words_out, _, _ = dec.decode(logp)
+            hyps[u] = [self.lang.words.sym(w) for w in words_out]
+        stats = score_utterances(test_texts, hyps)
+        logger.info("%s", stats.report())
+        return stats
+
+    def _build_net(self, input_dim: int, num_outputs: int) -> Nnet:
+        opts = self.opts
+        net = Nnet()
+        dim = input_dim
+        for _ in range(opts.num_layers):
+            if opts.model_type == "blstm":
+                net.add(BLstm(dim, 2 * opts.hidden_dim))
+                dim = 2 * opts.hidden_dim
+            else:
+                net.add(Lstm(dim, opts.hidden_dim))
+                dim = opts.hidden_dim
+        net.add(AffineTransform(dim, num_outputs, param_stddev=0.04,
+                                bias_mean=0.0, bias_range=0.0))
+        return net

@@ -1,0 +1,202 @@
+"""Hybrid NN-HMM training recipe: the run_dnn.sh / run_lstm.sh chain.
+
+TPU-native equivalent of the ASLP hybrid pipelines (reference:
+aslp_scripts/aslp_nnet/run_dnn.sh, run_lstm.sh —
+prepare_feats_ali.sh targets → proto → train_scheduler.sh newbob loop →
+decode.sh with aslp-nnet-forward | latgen-faster-mapped →
+score_basic.sh).
+
+Operates on in-memory (feats, transcripts) dicts + a Lang; stages:
+  1. GMM bootstrap (mono) for alignments          [train_mono.sh]
+  2. targets = ali→pdf, priors = analyze-counts   [prepare_feats_ali.sh]
+  3. NN training with newbob accept/reject        [train_scheduler.sh]
+  4. decode: nnet_forward − priors → Viterbi/HCLG [decode.sh]
+  5. WER                                           [score_basic.sh]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kaldi_aslp_tpu.utils.config import Config
+from kaldi_aslp_tpu.utils.log import get_logger
+from kaldi_aslp_tpu.fst import Lang, make_decode_graph, \
+    make_unigram_grammar
+from kaldi_aslp_tpu.fst.fst import Fst
+from kaldi_aslp_tpu.gmm import MonophoneTrainer, MonoTrainOptions
+from kaldi_aslp_tpu.models import Nnet
+from kaldi_aslp_tpu.train import (
+    FrameTrainer,
+    NewbobOptions,
+    NewbobScheduler,
+    NnetTrainOptions,
+    init_velocity,
+)
+from kaldi_aslp_tpu.data.randomizer import FrameRandomizer, \
+    RandomizerOptions
+from kaldi_aslp_tpu.decoder import PackedGraph, ViterbiDecoder
+from kaldi_aslp_tpu.decoder.decodable import PdfPrior, nnet_forward, \
+    NnetForwardOptions
+from kaldi_aslp_tpu.ops.edit_distance import ErrorStats, score_utterances
+
+logger = get_logger("hybrid")
+
+
+@dataclasses.dataclass
+class HybridRecipeOptions(Config):
+    model_type: str = "dnn"      # dnn | lstm
+    hidden_dim: int = 128
+    num_layers: int = 2
+    splice_context: int = 2      # DNN input splicing (frames each side)
+    learn_rate: float = 0.008
+    momentum: float = 0.9
+    minibatch_size: int = 256
+    max_iters: int = 10
+    acoustic_scale: float = 0.2
+    mono_iters: int = 8
+    mono_totgauss: int = 100
+
+
+class HybridRecipe:
+    def __init__(self, lang: Lang,
+                 opts: Optional[HybridRecipeOptions] = None):
+        self.lang = lang
+        self.opts = opts or HybridRecipeOptions()
+
+    def run(
+        self,
+        train_feats: Dict[str, np.ndarray],
+        train_texts: Dict[str, List[str]],
+        test_feats: Dict[str, np.ndarray],
+        test_texts: Dict[str, List[str]],
+        grammar: Optional[Fst] = None,
+        work_dir: str = "exp_hybrid",
+    ) -> ErrorStats:
+        opts = self.opts
+        # 1. GMM bootstrap → alignments
+        mono = MonophoneTrainer(
+            self.lang,
+            opts=MonoTrainOptions(
+                num_iters=opts.mono_iters, totgauss=opts.mono_totgauss,
+                realign_iters=" ".join(
+                    str(i) for i in range(1, opts.mono_iters)
+                ),
+            ),
+        )
+        am, tm = mono.train(train_feats, train_texts)
+        alis = mono.align(am, train_feats, train_texts)
+        logger.info("GMM bootstrap done: %d pdfs", tm.num_pdfs)
+
+        # 2. targets + priors
+        pdf_targets = {u: tm.alignment_to_pdfs(a) for u, a in
+                       alis.items()}
+        prior = PdfPrior.from_alignments(pdf_targets, tm.num_pdfs)
+
+        # 3. NN training
+        dim = self._nn_feats(
+            next(iter(train_feats.values()))[:1]
+        ).shape[1]
+        net = self._build_net(dim, tm.num_pdfs)
+        params = net.init(jax.random.PRNGKey(777))
+        velocity = init_velocity(params)
+        trainer = FrameTrainer(
+            net, NnetTrainOptions(momentum=opts.momentum)
+        )
+        sched = NewbobScheduler(
+            work_dir, initial_lr=opts.learn_rate,
+            opts=NewbobOptions(max_iters=opts.max_iters),
+        )
+        utts = sorted(u for u in train_feats if u in pdf_targets)
+        cv_utts = utts[: max(1, len(utts) // 10)]
+        tr_utts = utts[len(cv_utts):]
+
+        def batches(utt_list, seed):
+            r = FrameRandomizer(RandomizerOptions(
+                minibatch_size=opts.minibatch_size,
+                randomizer_seed=seed,
+            ))
+            for u in utt_list:
+                feats = self._nn_feats(train_feats[u])
+                n = min(len(feats), len(pdf_targets[u]))
+                r.feed(feats[:n], pdf_targets[u][:n])
+                if r.full():
+                    yield from r.iterate_minibatches()
+            yield from r.flush()
+
+        best = params
+        while not sched.done:
+            params, velocity, rep = trainer.train_epoch(
+                best, velocity, batches(tr_utts, sched.state.iter),
+                sched.learn_rate,
+            )
+            cv = trainer.evaluate(params, batches(cv_utts, 0))
+            accepted = sched.report(cv.avg_loss)
+            logger.info(
+                "iter %d lr %.5f tr %.4f cv %.4f acc %.1f%% %s",
+                sched.state.iter, sched.learn_rate, rep.avg_loss,
+                cv.avg_loss, cv.frame_accuracy,
+                "ACCEPT" if accepted else "REJECT",
+            )
+            if accepted:
+                best = params
+
+        # 4. decode
+        if grammar is None:
+            words = sorted({w for t in train_texts.values() for w in t})
+            grammar = make_unigram_grammar(
+                {w: 1.0 / len(words) for w in words}, self.lang.words
+            )
+        hclg = make_decode_graph(self.lang, grammar, tm)
+        lut = tm.alignment_to_pdfs(
+            np.arange(tm.num_transition_ids + 1)
+        )
+        dec = ViterbiDecoder(PackedGraph.from_fst(hclg), lut,
+                             acoustic_scale=opts.acoustic_scale)
+        fwd_opts = NnetForwardOptions()
+        hyps = {}
+        for u, feats in test_feats.items():
+            scores = nnet_forward(net, best, self._nn_feats(feats),
+                                  fwd_opts, prior)
+            words_out, _, _ = dec.decode(scores)
+            hyps[u] = [self.lang.words.sym(w) for w in words_out]
+        stats = score_utterances(test_texts, hyps)
+        logger.info("%s", stats.report())
+        return stats
+
+    def _build_net(self, input_dim: int, num_pdfs: int) -> Nnet:
+        from kaldi_aslp_tpu.models import (
+            AffineTransform, Lstm, Sigmoid, Splice,
+        )
+        opts = self.opts
+        net = Nnet()
+        dim = input_dim
+        if opts.model_type == "dnn":
+            for _ in range(opts.num_layers):
+                net.add(AffineTransform(dim, opts.hidden_dim,
+                                        param_stddev=0.1,
+                                        bias_mean=0.0, bias_range=0.0))
+                net.add(Sigmoid(opts.hidden_dim, opts.hidden_dim))
+                dim = opts.hidden_dim
+        elif opts.model_type == "lstm":
+            for _ in range(opts.num_layers):
+                net.add(Lstm(dim, opts.hidden_dim))
+                dim = opts.hidden_dim
+        else:
+            raise ValueError(opts.model_type)
+        net.add(AffineTransform(dim, num_pdfs, param_stddev=0.04,
+                                bias_mean=0.0, bias_range=0.0))
+        return net
+
+    def _nn_feats(self, feats: np.ndarray) -> np.ndarray:
+        """DNN input splicing (run_dnn.sh splice context)."""
+        if self.opts.model_type != "dnn" or not self.opts.splice_context:
+            return feats
+        from kaldi_aslp_tpu.feats import splice_frames
+
+        c = self.opts.splice_context
+        return np.asarray(splice_frames(jnp.asarray(feats), c, c))

@@ -107,10 +107,13 @@ def test_pdf_prior_and_forward(rng):
     alis = {"u1": np.array([0, 0, 1, 2]), "u2": np.array([3, 3, 3, 4])}
     prior = PdfPrior.from_alignments(alis, num_pdfs=6)
     assert prior.log_priors.shape == (6,)
-    # pdf 3 most frequent → largest prior
-    assert prior.log_priors.argmax() == np.bincount(
-        np.concatenate(list(alis.values())), minlength=6
-    ).argmax()
+    counts = np.bincount(np.concatenate(list(alis.values())),
+                         minlength=6)
+    seen = counts > 0
+    # among seen pdfs the most frequent has the largest prior;
+    # unseen pdfs are removed from the search (+1e10 sentinel)
+    assert prior.log_priors[seen].argmax() == counts[seen].argmax()
+    assert (prior.log_priors[~seen] > 1e9).all()
 
     feats = rng.randn(10, 4).astype(np.float32)
     scores = nnet_forward(net, params, feats,

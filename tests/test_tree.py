@@ -168,7 +168,7 @@ def test_triphone_end_to_end(rng):
         np.arange(tm_dec.num_transition_ids + 1)
     )
     dec = ViterbiDecoder(PackedGraph.from_fst(hclg), lut,
-                         acoustic_scale=1.0)
+                         acoustic_scale=1.0, word_ins_penalty=2.0)
     packed = am.pack()
     import jax.numpy as jnp
     hyps = {}
