@@ -119,6 +119,17 @@ class LstmProjectedStreams(Component):
         state = _state_like(state, x)
         if mask is None:
             mask = jnp.ones((S, T), jnp.float32)
+        # inference fast path: Pallas kernel with VMEM-resident weights
+        # (opt-in via <Pallas> attr; forward-only, so training keeps the
+        # differentiable scan)
+        if not train and self.attrs.get("pallas", False):
+            from kaldi_aslp_tpu.ops.lstm_pallas import (
+                lstmp_forward_pallas_from_params,
+            )
+            return lstmp_forward_pallas_from_params(
+                params, x, mask=mask, state=state,
+                cell_clip=self.cell_clip,
+            )
         # hoisted input projection: one big MXU matmul
         dt = getattr(self, "compute_dtype", None)
         xg = _einsum_stg(x, params["w_gifo_x"], dt) + params["bias"]
