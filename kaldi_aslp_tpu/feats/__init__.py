@@ -34,3 +34,4 @@ from kaldi_aslp_tpu.feats.transforms import (
     gmm_gammas_for_alignment,
 )
 from kaldi_aslp_tpu.feats.plp import Plp, PlpOptions, Spectrogram
+from kaldi_aslp_tpu.feats.resample import resample_waveform, add_noise
