@@ -32,14 +32,15 @@ def ctc_lut(num_outputs: int) -> np.ndarray:
 def expand_ctc(lg: Fst, phone_to_output) -> Fst:
     """Replace each phone arc of LG with the CTC token structure:
 
-        junction --(blank* )--> [tok]+ --> next junction
+        junction --(blank*)--> [tok]+ --> next junction
 
-    i.e. at every LG state a blank self-loop, and each phone arc becomes
-    a token state with a self-loop (token repetition) entered by one
-    token frame.  Repeated identical phones are naturally separated
-    because each arc instance owns a distinct token state (the blank
-    between repeats is optional in this construction when states differ,
-    mandatory when collapsing would merge — matching MakeCtcLoopFst).
+    Every junction has a blank self-loop and each phone arc becomes a
+    token state (self-loop = token repetition).  A token exit leading
+    to a SAME-symbol token must pass through at least one blank
+    (reference: aslp-make-ctc-transducer.cc MakeCtcLoopFst — otherwise
+    two frames of the same unit could read as two tokens).  The exit
+    therefore lands on a per-(junction, symbol) state whose entries
+    skip that symbol, with a blank arc back to the full junction.
 
     phone_to_output: phone symbol id → CTC output index (blank=0)."""
     out = Fst()
@@ -48,9 +49,11 @@ def expand_ctc(lg: Fst, phone_to_output) -> Fst:
     blank = ctc_id_of_output(0)
     for s, w in lg.finals.items():
         out.set_final(state_map[s], w)
+
+    # first pass: create token states + entry specs per junction
+    entries = {s: [] for s in range(lg.num_states)}
+    # (tok_id, olabel, weight, tok_state, next_lg_state)
     for s in range(lg.num_states):
-        # blank self-loop at every junction
-        out.add_arc(state_map[s], Arc(blank, EPS, 0.0, state_map[s]))
         for arc in lg.arcs[s]:
             if arc.ilabel == EPS:
                 out.add_arc(state_map[s],
@@ -59,14 +62,46 @@ def expand_ctc(lg: Fst, phone_to_output) -> Fst:
                 continue
             tok = ctc_id_of_output(phone_to_output(arc.ilabel))
             tok_state = out.add_state()
-            # first frame of the token (carries word label + LM weight)
-            out.add_arc(state_map[s],
-                        Arc(tok, arc.olabel, arc.weight, tok_state))
+            entries[s].append((tok, arc.olabel, arc.weight, tok_state))
             # token repetition
             out.add_arc(tok_state, Arc(tok, EPS, 0.0, tok_state))
-            # leave token (free)
-            out.add_arc(tok_state, Arc(EPS, EPS, 0.0,
-                                       state_map[arc.nextstate]))
+            # exit handled in second pass (needs dest's entry specs)
+            arc._tok_state = tok_state  # type: ignore[attr-defined]
+
+    post_states = {}  # (lg_state, tok) → restricted-entry state
+
+    def get_post(s, tok_sym):
+        key = (s, tok_sym)
+        if key not in post_states:
+            ps = out.add_state()
+            post_states[key] = ps
+            # blank returns to the full junction
+            out.add_arc(ps, Arc(blank, EPS, 0.0, state_map[s]))
+            # direct entries to different-symbol tokens
+            for (tok, ol, w, ts) in entries[s]:
+                if tok != tok_sym:
+                    out.add_arc(ps, Arc(tok, ol, w, ts))
+            # eps pass-through arcs of the junction still apply
+            for arc in lg.arcs[s]:
+                if arc.ilabel == EPS:
+                    out.add_arc(ps, Arc(EPS, arc.olabel, arc.weight,
+                                        state_map[arc.nextstate]))
+            if s in lg.finals:
+                out.set_final(ps, lg.finals[s])
+        return post_states[key]
+
+    # second pass: junction blank loops, token entries and exits
+    for s in range(lg.num_states):
+        out.add_arc(state_map[s], Arc(blank, EPS, 0.0, state_map[s]))
+        for (tok, ol, w, ts) in entries[s]:
+            out.add_arc(state_map[s], Arc(tok, ol, w, ts))
+        for arc in lg.arcs[s]:
+            if arc.ilabel == EPS:
+                continue
+            tok = ctc_id_of_output(phone_to_output(arc.ilabel))
+            ts = arc._tok_state  # type: ignore[attr-defined]
+            out.add_arc(ts, Arc(EPS, EPS, 0.0,
+                                get_post(arc.nextstate, tok)))
     return out.connect()
 
 
@@ -83,5 +118,8 @@ def make_ctc_decode_graph(lang: Lang, G: Fst,
     L = make_lexicon_fst(lang, sil_prob=sil_prob).arc_sort("olabel") \
         if sil_prob > 0 else make_lexicon_fst(lang, sil_prob=1e-7
                                               ).arc_sort("olabel")
-    lg = L.compose(G)
+    # eps-free LG keeps blank routing deterministic in the expanded
+    # graph: each labeling then has a unique path, which sum-based
+    # lattice/MBR posteriors require (Viterbi alone wouldn't care)
+    lg = L.compose(G).remove_epsilon()
     return expand_ctc(lg, phone_to_output)
