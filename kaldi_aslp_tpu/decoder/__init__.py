@@ -3,3 +3,20 @@ from kaldi_aslp_tpu.decoder.viterbi import (
     ViterbiDecoder,
     equal_align,
 )
+from kaldi_aslp_tpu.decoder.batched import BatchedViterbiDecoder
+from kaldi_aslp_tpu.decoder.lattice import (
+    Lattice,
+    generate_lattice,
+    lattice_best_path,
+    score_lmwt_sweep,
+)
+from kaldi_aslp_tpu.decoder.mbr import (
+    lattice_arc_posteriors,
+    minimum_bayes_risk,
+)
+from kaldi_aslp_tpu.decoder.online import OnlineViterbiDecoder
+from kaldi_aslp_tpu.decoder.decodable import (
+    PdfPrior,
+    NnetForwardOptions,
+    nnet_forward,
+)

@@ -35,3 +35,4 @@ from kaldi_aslp_tpu.feats.transforms import (
 )
 from kaldi_aslp_tpu.feats.plp import Plp, PlpOptions, Spectrogram
 from kaldi_aslp_tpu.feats.resample import resample_waveform, add_noise
+from kaldi_aslp_tpu.feats.pitch import PitchOptions, compute_pitch, postprocess_pitch

@@ -13,3 +13,10 @@ from kaldi_aslp_tpu.fst.hclg import (
     make_decode_graph,
     TrainingGraphCompiler,
 )
+from kaldi_aslp_tpu.fst.determinize import determinize, minimize_encoded
+from kaldi_aslp_tpu.fst.context import ContextWindows, compose_context
+from kaldi_aslp_tpu.fst.ctc_graph import (
+    ctc_lut,
+    expand_ctc,
+    make_ctc_decode_graph,
+)

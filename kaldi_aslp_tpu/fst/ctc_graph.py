@@ -118,8 +118,16 @@ def make_ctc_decode_graph(lang: Lang, G: Fst,
     L = make_lexicon_fst(lang, sil_prob=sil_prob).arc_sort("olabel") \
         if sil_prob > 0 else make_lexicon_fst(lang, sil_prob=1e-7
                                               ).arc_sort("olabel")
-    # eps-free LG keeps blank routing deterministic in the expanded
+    # det+min LG keeps blank routing deterministic in the expanded
     # graph: each labeling then has a unique path, which sum-based
     # lattice/MBR posteriors require (Viterbi alone wouldn't care)
+    from kaldi_aslp_tpu.fst.determinize import (
+        determinize,
+        minimize_encoded,
+    )
     lg = L.compose(G).remove_epsilon()
+    try:
+        lg = minimize_encoded(determinize(lg))
+    except RuntimeError:
+        pass
     return expand_ctc(lg, phone_to_output)

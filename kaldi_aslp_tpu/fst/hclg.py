@@ -64,10 +64,21 @@ def expand_hmm(lg: Fst, trans_model: TransitionModel) -> Fst:
 
 def make_decode_graph(lang: Lang, G: Fst,
                       trans_model: TransitionModel,
-                      sil_prob: float = 0.5) -> Fst:
-    """HCLG (reference: utils/mkgraph.sh)."""
+                      sil_prob: float = 0.5,
+                      optimize: bool = True) -> Fst:
+    """HCLG (reference: utils/mkgraph.sh — fsttablecompose |
+    fstdeterminizestar | fstminimizeencoded before H expansion)."""
     L = make_lexicon_fst(lang, sil_prob=sil_prob).arc_sort("olabel")
     lg = L.compose(G)
+    if optimize:
+        from kaldi_aslp_tpu.fst.determinize import (
+            determinize,
+            minimize_encoded,
+        )
+        try:
+            lg = minimize_encoded(determinize(lg.remove_epsilon()))
+        except RuntimeError:
+            pass  # non-determinizable G (rare): keep the raw compose
     return expand_hmm(lg, trans_model)
 
 
