@@ -8,13 +8,22 @@ from __future__ import annotations
 
 import sys
 
-from kaldi_aslp_tpu.cli import feat_tools, nnet_tools, train_tools
+from kaldi_aslp_tpu.cli import feat_tools, fst_tools, nnet_tools, \
+    train_tools
 
 TOOLS = {
-    # aslp-nnetbin trainers
+    # aslp-nnetbin trainers (blstm/perutt variants are the same loop —
+    # the architecture lives in the model file)
     "aslp-nnet-train-simple": train_tools.nnet_train_simple,
+    "aslp-nnet-train-mse": train_tools.nnet_train_simple,
     "aslp-nnet-train-ctc-streams": train_tools.nnet_train_ctc_streams,
     "aslp-nnet-train-lstm-streams": train_tools.nnet_train_lstm_streams,
+    "aslp-nnet-train-blstm-streams": train_tools.nnet_train_lstm_streams,
+    # aslp-kwsbin / fst tools
+    "aslp-fst-init": fst_tools.fst_init,
+    "aslp-fst-info": fst_tools.fst_info,
+    "aslp-fst-to-dot": fst_tools.fst_to_dot,
+    "aslp-kws-score": fst_tools.kws_score,
     # featbin
     "compute-mfcc-feats": feat_tools.compute_mfcc_feats,
     "compute-fbank-feats": feat_tools.compute_fbank_feats,
