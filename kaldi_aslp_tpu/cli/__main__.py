@@ -9,7 +9,7 @@ from __future__ import annotations
 import sys
 
 from kaldi_aslp_tpu.cli import feat_tools, fst_tools, nnet_tools, \
-    train_tools
+    train_tools, vad_tools
 
 TOOLS = {
     # aslp-nnetbin trainers (blstm/perutt variants are the same loop —
@@ -19,6 +19,12 @@ TOOLS = {
     "aslp-nnet-train-ctc-streams": train_tools.nnet_train_ctc_streams,
     "aslp-nnet-train-lstm-streams": train_tools.nnet_train_lstm_streams,
     "aslp-nnet-train-blstm-streams": train_tools.nnet_train_lstm_streams,
+    # aslp-vadbin / pitch
+    "aslp-apply-energy-vad": vad_tools.apply_energy_vad,
+    "aslp-apply-nnet-vad": vad_tools.apply_nnet_vad,
+    "aslp-ali-to-sil": vad_tools.ali_to_sil,
+    "aslp-select-frames": vad_tools.select_frames_cli,
+    "compute-kaldi-pitch-feats": vad_tools.compute_pitch_cli,
     # aslp-kwsbin / fst tools
     "aslp-fst-init": fst_tools.fst_init,
     "aslp-fst-info": fst_tools.fst_info,

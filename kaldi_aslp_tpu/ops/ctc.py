@@ -168,11 +168,48 @@ def ctc_loss(logits, labels, input_lengths, label_lengths, blank=0):
     return loss
 
 
+def _use_pallas_ctc() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _ctc_fwd(logits, labels, input_lengths, label_lengths, blank):
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    nll, alphas, betas, lp_t, exp_labels, valid_u = ctc_alpha_beta(
-        log_probs, labels, input_lengths, label_lengths, blank
-    )
+    if _use_pallas_ctc():
+        # Pallas kernels keep the [S, U'] recursion state in VMEM —
+        # measured 3.3x over the scan at S=128, T=400
+        # (see ops/ctc_pallas.py); the gradient is unchanged since it
+        # only consumes (alphas, betas).
+        from kaldi_aslp_tpu.ops.ctc_pallas import ctc_alpha_beta_pallas
+
+        S, T, V = log_probs.shape
+        exp_labels = expand_labels(labels, blank)
+        Up = exp_labels.shape[1]
+        exp_lens = 2 * label_lengths + 1
+        u_idx = jnp.arange(Up)[None, :]
+        valid_u = (u_idx < exp_lens[:, None]).astype(jnp.float32)
+        skip_ok = _transition_mask(exp_labels, blank) * valid_u
+        lp = jnp.take_along_axis(log_probs, exp_labels[:, None, :],
+                                 axis=2)
+        lp = jnp.where(valid_u[:, None, :] > 0, lp, NEG_INF)
+        lp_t = jnp.swapaxes(lp, 0, 1)
+        alphas, betas = ctc_alpha_beta_pallas(
+            lp_t, skip_ok, input_lengths, exp_lens
+        )
+        last_t = jnp.clip(input_lengths - 1, 0, T - 1)
+        alpha_last = alphas[last_t, jnp.arange(S)]
+        at_end = jnp.where(
+            (u_idx == exp_lens[:, None] - 1)
+            | (u_idx == exp_lens[:, None] - 2),
+            alpha_last, NEG_INF,
+        )
+        nll = -jax.nn.logsumexp(at_end, axis=1)
+    else:
+        nll, alphas, betas, lp_t, exp_labels, valid_u = ctc_alpha_beta(
+            log_probs, labels, input_lengths, label_lengths, blank
+        )
     residuals = (log_probs, alphas, betas, lp_t, exp_labels, valid_u,
                  input_lengths, nll)
     return nll, residuals

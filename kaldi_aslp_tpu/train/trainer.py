@@ -47,6 +47,8 @@ class FrameTrainer:
         self._update = make_sgd_update(net, self.opts)
         self._step = jax.jit(self._make_step())
         self._eval = jax.jit(self._make_eval())
+        self._base_rng = jax.random.PRNGKey(777)
+        self._rng_counter = 0
 
     def _loss(self, logits, targets, weights):
         if self.objective == "xent":
@@ -56,9 +58,9 @@ class FrameTrainer:
         raise ValueError(self.objective)
 
     def _make_step(self):
-        def step(params, velocity, feats, targets, weights, lr):
+        def step(params, velocity, feats, targets, weights, lr, rng):
             def loss_fn(p):
-                y, _ = self.net.apply(p, feats, train=True)
+                y, _ = self.net.apply(p, feats, train=True, rng=rng)
                 return self._loss(y, targets, weights)
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -86,10 +88,12 @@ class FrameTrainer:
             )
             tgt_dtype = (jnp.int32 if self.objective == "xent"
                          else jnp.float32)
+            self._rng_counter += 1
+            rng = jax.random.fold_in(self._base_rng, self._rng_counter)
             params, velocity, loss, aux = self._step(
                 params, velocity, jnp.asarray(feats),
                 jnp.asarray(targets, tgt_dtype),
-                jnp.asarray(weights, jnp.float32), lr,
+                jnp.asarray(weights, jnp.float32), lr, rng,
             )
             reporter.update(aux)
         return params, velocity, reporter
@@ -123,12 +127,15 @@ class CtcTrainer:
         self._update = make_sgd_update(net, self.opts)
         self._step = jax.jit(self._make_step())
         self._eval = jax.jit(self._make_eval())
+        self._base_rng = jax.random.PRNGKey(777)
+        self._rng_counter = 0
 
     def _make_step(self):
         def step(params, velocity, feats, labels, in_lens, lab_lens,
-                 mask, lr):
+                 mask, lr, rng):
             def loss_fn(p):
-                y, _ = self.net.apply(p, feats, train=True, mask=mask)
+                y, _ = self.net.apply(p, feats, train=True, mask=mask,
+                                      rng=rng)
                 return ctc_batch_loss(
                     y, labels, in_lens, lab_lens, self.blank
                 )
@@ -151,10 +158,13 @@ class CtcTrainer:
         reporter = reporter or LossReporter("ctc")
         lr = jnp.asarray(learn_rate, jnp.float32)
         for b in batches:
+            self._rng_counter += 1
+            rng = jax.random.fold_in(self._base_rng, self._rng_counter)
             params, velocity, loss, aux = self._step(
                 params, velocity, jnp.asarray(b.feats),
                 jnp.asarray(b.labels), jnp.asarray(b.input_lengths),
-                jnp.asarray(b.label_lengths), jnp.asarray(b.frame_mask), lr,
+                jnp.asarray(b.label_lengths), jnp.asarray(b.frame_mask),
+                lr, rng,
             )
             reporter.update(
                 {"frames": aux["frames"], "loss_sum": aux["loss_sum"]}
