@@ -60,6 +60,10 @@ class HybridRecipeOptions(Config):
     acoustic_scale: float = 0.2
     mono_iters: int = 8
     mono_totgauss: int = 100
+    # lattice scoring sweep (reference: score_basic.sh LMWT grid);
+    # empty = 1-best at acoustic_scale only
+    lmwt_sweep: str = ""         # e.g. "1 2 4 7 10"
+    lattice_beam: float = 8.0
 
 
 class HybridRecipe:
@@ -158,6 +162,34 @@ class HybridRecipe:
         dec = ViterbiDecoder(PackedGraph.from_fst(hclg), lut,
                              acoustic_scale=opts.acoustic_scale)
         fwd_opts = NnetForwardOptions()
+        if opts.lmwt_sweep:
+            # lattice generation + LMWT grid (score_basic.sh)
+            from kaldi_aslp_tpu.decoder.lattice import (
+                generate_lattice,
+                score_lmwt_sweep,
+            )
+            packed = PackedGraph.from_fst(hclg)
+            lats, refs = {}, {}
+            for u, feats in test_feats.items():
+                scores = nnet_forward(net, best, self._nn_feats(feats),
+                                      fwd_opts, prior)
+                lats[u] = generate_lattice(
+                    packed, scores, lut,
+                    acoustic_scale=opts.acoustic_scale,
+                    beam=opts.lattice_beam,
+                )
+                refs[u] = [self.lang.words.id(w)
+                           for w in test_texts[u]]
+            sweep = score_lmwt_sweep(
+                lats, refs,
+                lmwt_range=[int(x) for x in opts.lmwt_sweep.split()],
+                acoustic_scale_base=1.0,
+            )
+            for lmwt, st in sweep.items():
+                logger.info("LMWT %d: %s", lmwt, st.report())
+            stats = min(sweep.values(), key=lambda st: st.wer)
+            logger.info("best: %s", stats.report())
+            return stats
         hyps = {}
         for u, feats in test_feats.items():
             scores = nnet_forward(net, best, self._nn_feats(feats),

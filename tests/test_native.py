@@ -68,16 +68,23 @@ def test_fast_ark_speedup_many_entries(tmp_path, rng):
             w[f"u{i}"] = rng.randint(1, 100, 50).astype(np.int32)
     # warm the page cache
     open(path, "rb").read()
-    t0 = time.perf_counter()
-    fast = FastArkReader(str(path))
-    total_native = sum(int(fast[k][0]) for k in fast.keys())
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    total_py = sum(
-        int(v[0]) for _, v in
-        sequential_int_vector_reader(f"ark:{path}")
-    )
-    t_python = time.perf_counter() - t0
+
+    def time_native():
+        t0 = time.perf_counter()
+        fast = FastArkReader(str(path))
+        total = sum(int(fast[k][0]) for k in fast.keys())
+        return time.perf_counter() - t0, total
+
+    def time_python():
+        t0 = time.perf_counter()
+        total = sum(
+            int(v[0]) for _, v in
+            sequential_int_vector_reader(f"ark:{path}")
+        )
+        return time.perf_counter() - t0, total
+
+    # best-of-3 to survive CI load spikes (typical ratio 3-10x)
+    t_native, total_native = min(time_native() for _ in range(3))
+    t_python, total_py = min(time_python() for _ in range(3))
     assert total_native == total_py
-    # >1x required (typically 3-10x); /2 margin flakes under load
     assert t_native < t_python, (t_native, t_python)
