@@ -13,3 +13,4 @@ from kaldi_aslp_tpu.online.server import (
     OnlineTcpServer,
 )
 from kaldi_aslp_tpu.online.vad_pipeline import OnlineVadFeaturePipeline
+from kaldi_aslp_tpu.online.vad_session import VadDecodeSession
