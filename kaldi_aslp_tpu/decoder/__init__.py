@@ -20,3 +20,9 @@ from kaldi_aslp_tpu.decoder.decodable import (
     NnetForwardOptions,
     nnet_forward,
 )
+from kaldi_aslp_tpu.decoder.nbest import (
+    NBestEntry,
+    lattice_nbest,
+    lm_score_words,
+    rescore_nbest,
+)

@@ -19,3 +19,9 @@ from kaldi_aslp_tpu.gmm.ebw import (
     accumulate_numerator_stats,
     accumulate_denominator_stats,
 )
+from kaldi_aslp_tpu.gmm.full_gmm import (
+    AmFullGmm,
+    full_gmm_loglikes,
+    full_gmm_accumulate,
+    full_gmm_mle_update,
+)
