@@ -302,7 +302,22 @@ Posterior = List[List[Tuple[int, float]]]
 def read_posterior(f: BinaryIO, binary: bool = True) -> Posterior:
     """ReadPosterior (reference: src/hmm/posterior.cc)."""
     if not binary:
-        raise NotImplementedError("text posterior read")
+        # text form: "[ id p id p ] [ ... ]" per frame until newline
+        line = f.readline().decode()
+        post: Posterior = []
+        toks = line.replace("]", " ] ").replace("[", " [ ").split()
+        frame: List[Tuple[int, float]] = []
+        i = 0
+        while i < len(toks):
+            if toks[i] == "[":
+                frame = []
+            elif toks[i] == "]":
+                post.append(frame)
+            else:
+                frame.append((int(toks[i]), float(toks[i + 1])))
+                i += 1
+            i += 1
+        return post
     num_frames = read_basic_int32(f)
     post: Posterior = []
     for _ in range(num_frames):
