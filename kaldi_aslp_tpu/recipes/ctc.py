@@ -49,6 +49,7 @@ class CtcRecipeOptions(Config):
     learn_rate: float = 0.01
     momentum: float = 0.9
     max_iters: int = 12
+    keep_lr_iters: int = 0   # suppress newbob halving for N iters
     num_streams: int = 8
     acoustic_scale: float = 1.0
     # Eesen-style decode: divide posteriors by their training-set
@@ -90,8 +91,11 @@ class CtcRecipe:
         params = net.init(jax.random.PRNGKey(777))
         velocity = init_velocity(params)
         trainer = CtcTrainer(net, NnetTrainOptions(momentum=opts.momentum))
-        sched = NewbobScheduler(work_dir, initial_lr=opts.learn_rate,
-                                opts=NewbobOptions(max_iters=opts.max_iters))
+        sched = NewbobScheduler(
+            work_dir, initial_lr=opts.learn_rate,
+            opts=NewbobOptions(max_iters=opts.max_iters,
+                               keep_lr_iters=opts.keep_lr_iters),
+        )
 
         utts = sorted(train_feats)
         cv_utts = utts[: max(1, len(utts) // 10)]
