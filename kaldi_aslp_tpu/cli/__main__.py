@@ -30,6 +30,9 @@ TOOLS = {
     "aslp-fst-info": fst_tools.fst_info,
     "aslp-fst-to-dot": fst_tools.fst_to_dot,
     "aslp-kws-score": fst_tools.kws_score,
+    "aslp-kws-gen-state-map": fst_tools.kws_gen_state_map,
+    "aslp-kws-convert-phone-ali": fst_tools.kws_convert_phone_ali,
+    "aslp-kws-evaluation-roc": fst_tools.kws_evaluation_roc,
     # featbin
     "compute-mfcc-feats": feat_tools.compute_mfcc_feats,
     "compute-fbank-feats": feat_tools.compute_fbank_feats,

@@ -128,6 +128,24 @@ class OnlineViterbiDecoder(ViterbiDecoder):
         words, ali = self._backtrace(end)
         return words, ali, float(total[end])
 
+    def final_relative_cost(self) -> float:
+        """Relative cost of final states: 0 when a final state has the
+        best score this frame, +inf when no final state is reachable
+        (reference: lattice-faster-online-decoder FinalRelativeCost,
+        consumed by online-endpoint.cc EndpointDetected)."""
+        if self.num_frames_decoded == 0:
+            return float("inf")
+        g = self.graph
+        final_cost = np.full(self._num_states_padded, np.inf, np.float32)
+        final_cost[:g.num_states] = g.final
+        with np.errstate(invalid="ignore"):
+            total = self._scores - final_cost
+        best_final = float(np.max(np.nan_to_num(total, nan=-np.inf)))
+        best_any = float(np.max(self._scores))
+        if not np.isfinite(best_final) or best_final <= NEG_INF:
+            return float("inf")
+        return max(0.0, best_any - best_final)
+
     def trailing_silence_frames(self, sil_tids: np.ndarray) -> int:
         """Frames of silence at the end of the current best path
         (endpointing input, reference: online-endpoint.cc

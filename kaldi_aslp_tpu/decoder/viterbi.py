@@ -63,19 +63,24 @@ class PackedGraph:
         )
 
 
-def _eps_diameter(src: np.ndarray, dst: np.ndarray, n: int,
-                  cap: int = 10) -> int:
-    """Longest eps-arc chain (capped; cycles → cap)."""
+def _eps_diameter(src: np.ndarray, dst: np.ndarray, n: int) -> int:
+    """Longest eps-arc chain.  The scan does exactly this many
+    relaxation rounds per frame, so under-estimating it silently
+    produces wrong scores — eps cycles (which have no finite diameter)
+    are a hard error; run remove-eps/determinize on the graph first."""
     if len(src) == 0:
         return 0
     depth = np.zeros(n, np.int32)
-    for _ in range(cap):
+    for _ in range(n + 1):
         new = depth.copy()
         np.maximum.at(new, dst, depth[src] + 1)
         if (new == depth).all():
             return int(depth.max())
         depth = new
-    return cap
+    raise ValueError(
+        "epsilon-cycle detected in decode graph: epsilon relaxation does "
+        "not converge; remove epsilon cycles (determinize/rmepsilon) "
+        "before packing")
 
 
 def _split(graph: PackedGraph):

@@ -182,9 +182,7 @@ class PosteriorHolder(Holder):
     name = "posterior"
 
     def read(self, f, binary):
-        if not binary:
-            raise NotImplementedError("text posterior read")
-        return kaldi_io.read_posterior(f, True)
+        return kaldi_io.read_posterior(f, binary)
 
     def write(self, f, value, binary):
         if binary:

@@ -87,7 +87,8 @@ class DecodeSession:
             trailing = self.decoder.trailing_silence_frames(self.sil_tids)
             if endpoint_detected(
                 self.endpoint_config, self.decoder.num_frames_decoded,
-                trailing, decoded_something=len(partial) > 0,
+                trailing,
+                final_relative_cost=self.decoder.final_relative_cost(),
             ):
                 events.append(self.finalize())
         return events

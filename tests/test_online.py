@@ -45,15 +45,23 @@ def test_online_features_match_offline(rng):
 
 def test_endpoint_rules():
     cfg = OnlineEndpointConfig()
-    # nothing decoded, long silence → rule 1
-    assert endpoint_detected(cfg, 600, 550, False)
+    # mostly silence, 5.5s trailing → rule 1 (no final state needed)
+    assert endpoint_detected(cfg, 600, 550)
     # decoded + short trailing silence → no endpoint
-    assert not endpoint_detected(cfg, 100, 20, True)
-    # decoded + 1.1s trailing silence → rule 2/3
-    assert endpoint_detected(cfg, 300, 110, True)
+    assert not endpoint_detected(cfg, 100, 20)
+    # 1.1s trailing silence + good final state → rule 3
+    assert endpoint_detected(cfg, 300, 110, final_relative_cost=0.0)
+    # 1.1s trailing silence but NO reachable final state: rules 2/3
+    # gated off by max_relative_cost (reference: online-endpoint.h:155-156)
+    assert not endpoint_detected(cfg, 300, 110)
+    # ... until silence reaches rule 4's 2s threshold
+    assert endpoint_detected(cfg, 300, 210)
+    # rule 2 fires at 0.6s only when the final state is very good
+    assert endpoint_detected(cfg, 300, 60, final_relative_cost=1.0)
+    assert not endpoint_detected(cfg, 300, 60, final_relative_cost=5.0)
     # very long utterance → rule 5
-    assert endpoint_detected(cfg, 2100, 0, True)
-    assert not endpoint_detected(cfg, 0, 0, False)
+    assert endpoint_detected(cfg, 2100, 0)
+    assert not endpoint_detected(cfg, 0, 0)
 
 
 def _ctc_setup():

@@ -88,6 +88,18 @@ def test_posterior_ark(tmp_path):
     assert got["u"][1][0][0] == 2
 
 
+def test_posterior_ark_text(tmp_path):
+    # text form "[ id p ... ]" per frame (reference: src/hmm/posterior.cc
+    # WritePosterior text branch) must round-trip through the holder
+    path = tmp_path / "post_t.ark"
+    post = [[(0, 1.0)], [(2, 0.5), (3, 0.25)]]
+    with table.posterior_writer(f"ark,t:{path}") as w:
+        w["u"] = post
+    got = dict(table.sequential_posterior_reader(f"ark:{path}"))
+    assert len(got["u"]) == 2
+    assert got["u"][1] == [(2, 0.5), (3, 0.25)]
+
+
 def test_vector_ark(tmp_path):
     path = tmp_path / "v.ark"
     with table.vector_writer(f"ark:{path}") as w:
