@@ -42,12 +42,13 @@ class Fbank:
         frame_opts: FrameExtractionOptions | None = None,
         mel_opts: MelBanksOptions | None = None,
         fbank_opts: FbankOptions | None = None,
+        vtln_warp: float = 1.0,
     ):
         self.frame_opts = frame_opts or FrameExtractionOptions()
         self.mel_opts = mel_opts or MelBanksOptions()
         self.opts = fbank_opts or FbankOptions()
         self._mel = jnp.asarray(
-            mel_banks_matrix(self.mel_opts, self.frame_opts)
+            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp)
         )
         self._window = jnp.asarray(window_function(self.frame_opts))
 
@@ -87,6 +88,10 @@ class Fbank:
         mel_energies = jnp.dot(
             power[:, :-1], self._mel, preferred_element_type=jnp.float32
         )
+        if self.mel_opts.htk_mode:
+            # HTK-like energy floor (reference: mel-computations.cc
+            # MelBanks::Compute "if (htk_mode_ && energy < 1.0)")
+            mel_energies = jnp.maximum(mel_energies, 1.0)
         if self.opts.use_log_fbank:
             mel_energies = jnp.log(
                 jnp.maximum(mel_energies, jnp.finfo(jnp.float32).tiny)

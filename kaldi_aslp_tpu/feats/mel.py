@@ -21,6 +21,10 @@ class MelBanksOptions(Config):
     high_freq: float = 0.0  # <=0 → nyquist + high_freq
     vtln_low: float = 100.0
     vtln_high: float = -500.0
+    # replicate two HTK quirks for golden-fixture parity (reference:
+    # mel-computations.cc:131-133 zeroed first weight of bin 0, and
+    # MelBanks::Compute's energy floor at 1.0)
+    htk_mode: bool = False
 
 
 def mel_scale(freq):
@@ -34,22 +38,30 @@ def inverse_mel_scale(mel):
 def vtln_warp_freq(
     vtln_low_cutoff, vtln_high_cutoff, low_freq, high_freq, warp_factor, freq
 ):
-    """Piecewise-linear VTLN warp (reference: mel-computations.cc:240)."""
+    """Piecewise-linear VTLN warp with F(low)=low, F(high)=high and
+    slope 1/warp in the middle (reference: mel-computations.cc
+    MelBanks::VtlnWarpFreq — inflection points l = vtln_low*max(1,warp)
+    and h = vtln_high*min(1,warp) so no bin is ever empty).
+
+    ``vtln_high_cutoff`` must already be resolved to a positive
+    frequency (the caller adds nyquist to negative values, mirroring
+    mel-computations.cc:73-75)."""
     if freq < low_freq or freq > high_freq:
         return freq
+    if not (vtln_low_cutoff > low_freq and vtln_high_cutoff < high_freq):
+        raise ValueError(
+            "vtln cutoffs must satisfy low_freq < vtln_low and "
+            "vtln_high < high_freq")
+    l = vtln_low_cutoff * max(1.0, warp_factor)
+    h = vtln_high_cutoff * min(1.0, warp_factor)
     scale = 1.0 / warp_factor
-    Fl = scale * vtln_low_cutoff
-    Fh = scale * min(vtln_high_cutoff if vtln_high_cutoff > 0
-                     else high_freq + vtln_high_cutoff, high_freq)
-    scale_left = (Fl - low_freq) / (vtln_low_cutoff - low_freq)
-    scale_right = (high_freq - Fh) / (
-        high_freq - min(vtln_high_cutoff if vtln_high_cutoff > 0
-                        else high_freq + vtln_high_cutoff, high_freq)
-    )
-    if freq < vtln_low_cutoff:
+    Fl = scale * l
+    Fh = scale * h
+    scale_left = (Fl - low_freq) / (l - low_freq)
+    scale_right = (high_freq - Fh) / (high_freq - h)
+    if freq < l:
         return low_freq + scale_left * (freq - low_freq)
-    if freq < (vtln_high_cutoff if vtln_high_cutoff > 0
-               else high_freq + vtln_high_cutoff):
+    if freq < h:
         return scale * freq
     return high_freq + scale_right * (freq - high_freq)
 
@@ -105,4 +117,10 @@ def mel_banks_matrix(
                     bins[i, b] = (mel - left_mel) / (center_mel - left_mel)
                 else:
                     bins[i, b] = (right_mel - mel) / (right_mel - center_mel)
+    if mel_opts.htk_mode and mel_low != 0.0:
+        # replicate an HTK bug: the first active weight of bin 0 is
+        # zeroed (reference: mel-computations.cc:131-133)
+        nz = np.nonzero(bins[:, 0])[0]
+        if len(nz):
+            bins[nz[0], 0] = 0.0
     return bins

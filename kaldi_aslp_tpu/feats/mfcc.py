@@ -60,12 +60,13 @@ class Mfcc:
         frame_opts: FrameExtractionOptions | None = None,
         mel_opts: MelBanksOptions | None = None,
         mfcc_opts: MfccOptions | None = None,
+        vtln_warp: float = 1.0,
     ):
         self.frame_opts = frame_opts or FrameExtractionOptions()
         self.mel_opts = mel_opts or MelBanksOptions()
         self.opts = mfcc_opts or MfccOptions()
         self._mel = jnp.asarray(
-            mel_banks_matrix(self.mel_opts, self.frame_opts)
+            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp)
         )
         # full-size DCT then truncated to num_ceps, transposed for x @ D
         self._dct = jnp.asarray(
@@ -106,6 +107,10 @@ class Mfcc:
         mel_energies = jnp.dot(
             power[:, :-1], self._mel, preferred_element_type=jnp.float32
         )
+        if self.mel_opts.htk_mode:
+            # HTK-like energy floor (reference: mel-computations.cc
+            # MelBanks::Compute "if (htk_mode_ && energy < 1.0)")
+            mel_energies = jnp.maximum(mel_energies, 1.0)
         log_mel = jnp.log(
             jnp.maximum(mel_energies, jnp.finfo(jnp.float32).tiny)
         )
@@ -118,4 +123,11 @@ class Mfcc:
                     log_energy, float(np.log(self.opts.energy_floor))
                 )
             feats = feats.at[:, 0].set(log_energy)
+        if self.opts.htk_compat:
+            # energy/C0 moves to the last column; pure-C0 gets the
+            # sqrt(2) rescale (reference: feature-mfcc.cc:174-181)
+            first = feats[:, :1]
+            if not self.opts.use_energy:
+                first = first * math.sqrt(2.0)
+            feats = jnp.concatenate([feats[:, 1:], first], axis=-1)
         return feats

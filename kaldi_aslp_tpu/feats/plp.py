@@ -63,70 +63,78 @@ class PlpOptions(Config):
     num_ceps: int = 13
     use_energy: bool = True
     energy_floor: float = 0.0
+    raw_energy: bool = True
     compress_factor: float = 0.33333
     cepstral_lifter: float = 22.0
     cepstral_scale: float = 1.0
+    htk_compat: bool = False
 
 
 def equal_loudness_curve(mel_opts: MelBanksOptions,
-                         frame_opts: FrameExtractionOptions) -> np.ndarray:
-    """Per-mel-bin equal loudness weights (reference:
-    mel-computations.cc ComputeEqualLoudness)."""
-    # center frequencies of the mel bins
-    from kaldi_aslp_tpu.feats.mel import inverse_mel_scale, mel_scale
+                         frame_opts: FrameExtractionOptions,
+                         vtln_warp: float = 1.0) -> np.ndarray:
+    """Per-mel-bin equal loudness weights over the (possibly warped)
+    bin center frequencies (reference: feature-functions.cc
+    GetEqualLoudnessVector over MelBanks::GetCenterFreqs)."""
+    from kaldi_aslp_tpu.feats.mel import (inverse_mel_scale, mel_scale,
+                                          vtln_warp_freq)
 
     nyquist = 0.5 * frame_opts.samp_freq
+    low = mel_opts.low_freq
     high = mel_opts.high_freq if mel_opts.high_freq > 0 else \
         nyquist + mel_opts.high_freq
-    mel_low = mel_scale(mel_opts.low_freq)
+    vtln_high = mel_opts.vtln_high
+    if vtln_high < 0:
+        vtln_high += nyquist
+    mel_low = mel_scale(low)
     mel_high = mel_scale(high)
     delta = (mel_high - mel_low) / (mel_opts.num_bins + 1)
     out = np.zeros(mel_opts.num_bins)
     for b in range(mel_opts.num_bins):
-        fsq = inverse_mel_scale(mel_low + (b + 1) * delta) ** 2
+        center_mel = mel_low + (b + 1) * delta
+        if vtln_warp != 1.0:
+            center_mel = mel_scale(vtln_warp_freq(
+                mel_opts.vtln_low, vtln_high, low, high, vtln_warp,
+                inverse_mel_scale(center_mel)))
+        fsq = inverse_mel_scale(center_mel) ** 2
         fsub = fsq / (fsq + 1.6e5)
         out[b] = fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6))
     return out.astype(np.float32)
 
 
-def _levinson_durbin(autocorr: np.ndarray, order: int):
-    """[.., order+1] autocorrelation → (lpc coeffs [.., order], gain)."""
-    n = autocorr.shape[0]
-    a = np.zeros((n, order))
-    err = autocorr[:, 0].copy()
+def _durbin(autocorr: np.ndarray, order: int):
+    """Batched Durbin recursion, mirroring the reference's sign
+    convention — predicted s_n = sum a_i s_{n-i} with stored pLP = -a
+    and the 1e-5 floor on (1-k^2) (reference: mel-computations.cc:262
+    Durbin).  [T, order+1] → (pLP [T, order], residual E [T])."""
+    T = autocorr.shape[0]
+    lp = np.zeros((T, order))
+    E = autocorr[:, 0].copy()
     for i in range(order):
-        acc = autocorr[:, i + 1].copy()
+        ki = autocorr[:, i + 1].copy()
         for j in range(i):
-            acc -= a[:, j] * autocorr[:, i - j]
-        k = acc / np.maximum(err, 1e-20)
-        new_a = a.copy()
-        new_a[:, i] = k
+            ki += lp[:, j] * autocorr[:, i - j]
+        ki = ki / E
+        c = np.maximum(1.0 - ki * ki, 1.0e-5)
+        E = E * c
+        new = lp.copy()
+        new[:, i] = -ki
         for j in range(i):
-            new_a[:, j] = a[:, j] - k * a[:, i - 1 - j]
-        a = new_a
-        err = err * (1.0 - k * k)
-    return a, np.maximum(err, 1e-20)
+            new[:, j] = lp[:, j] - ki * lp[:, i - j - 1]
+        lp = new
+    return lp, E
 
 
-def _lpc_to_cepstrum(a: np.ndarray, gain: np.ndarray,
-                     num_ceps: int) -> np.ndarray:
-    """LPC → cepstra recursion (reference: feature-functions.cc
-    Lpc2Cepstrum)."""
-    n, order = a.shape
-    c = np.zeros((n, num_ceps))
-    c[:, 0] = -np.log(np.maximum(gain, 1e-20))  # C0 = -log residual? use
-    # kaldi convention: c0 = log energy of residual (sign flips cancel in
-    # liftering); keep log(gain)
-    c[:, 0] = np.log(np.maximum(gain, 1e-20))
-    for m in range(1, num_ceps):
-        if m <= order:
-            acc = a[:, m - 1].copy()
-        else:
-            acc = np.zeros(n)
-        for k in range(1, m):
-            if m - k <= order:
-                acc += (k / m) * c[:, k] * a[:, m - k - 1]
-        c[:, m] = acc
+def _lpc_to_cepstrum(lp: np.ndarray, order: int) -> np.ndarray:
+    """LPC → raw cepstrum, C0 not included (reference:
+    mel-computations.cc:295 Lpc2Cepstrum)."""
+    T = lp.shape[0]
+    c = np.zeros((T, order))
+    for i in range(order):
+        acc = np.zeros(T)
+        for j in range(i):
+            acc += (i - j) * lp[:, j] * c[:, i - j - 1]
+        c[:, i] = -lp[:, i] - acc / (i + 1)
     return c
 
 
@@ -138,15 +146,18 @@ class Plp:
 
     def __init__(self, frame_opts: FrameExtractionOptions | None = None,
                  mel_opts: MelBanksOptions | None = None,
-                 plp_opts: PlpOptions | None = None):
+                 plp_opts: PlpOptions | None = None,
+                 vtln_warp: float = 1.0):
         self.frame_opts = frame_opts or FrameExtractionOptions()
         self.mel_opts = mel_opts or MelBanksOptions()
         self.opts = plp_opts or PlpOptions()
+        if self.opts.num_ceps > self.opts.lpc_order + 1:
+            raise ValueError("num_ceps must be <= lpc_order + 1")
         self._mel = jnp.asarray(
-            mel_banks_matrix(self.mel_opts, self.frame_opts)
+            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp)
         )
         self._eql = jnp.asarray(
-            equal_loudness_curve(self.mel_opts, self.frame_opts)
+            equal_loudness_curve(self.mel_opts, self.frame_opts, vtln_warp)
         )
         self._window = jnp.asarray(window_function(self.frame_opts))
         self._lifter = lifter_coeffs(self.opts.cepstral_lifter,
@@ -165,12 +176,12 @@ class Plp:
         if padded > len(wav):
             wav = np.pad(wav, (0, padded - len(wav)))
         audspec, log_energy = self._device_part(jnp.asarray(wav), key)
-        audspec = np.asarray(audspec)[:n_true]
+        audspec = np.asarray(audspec, np.float64)[:n_true]
         log_energy = np.asarray(log_energy)[:n_true]
-        # autocorrelation via inverse DFT of the (symmetrized) auditory
-        # spectrum (reference: feature-plp.cc idft)
-        B = audspec.shape[1]
-        # duplicate first/last bins (kaldi pads the spectrum)
+        # duplicate first/last bins, then autocorrelation via the IDFT
+        # bases (reference: feature-plp.cc:215-224 + feature-functions.cc
+        # InitIdftBases — the half-weighted end columns below expand to
+        # exactly those bases)
         padded_spec = np.concatenate(
             [audspec[:, :1], audspec, audspec[:, -1:]], axis=1
         )
@@ -181,25 +192,40 @@ class Plp:
         idft[:, 0] *= 0.5
         idft[:, -1] *= 0.5
         autocorr = padded_spec @ idft.T / (M - 1)
-        a, gain = _levinson_durbin(autocorr, order)
-        ceps = _lpc_to_cepstrum(a, gain, self.opts.num_ceps)
+        # Durbin → residual energy forms C0 (reference:
+        # feature-functions.cc ComputeLpc "-Log(1.0/ans)")
+        lp, resid = _durbin(autocorr, order)
+        energy = -np.log(1.0 / np.maximum(resid, np.finfo(np.float32).tiny))
+        raw = _lpc_to_cepstrum(lp, order)
+        ceps = np.concatenate(
+            [energy[:, None], raw[:, :self.opts.num_ceps - 1]], axis=1
+        )
         if self._lifter is not None:
-            ceps = ceps * np.concatenate([[1.0], self._lifter[1:]])
+            ceps = ceps * self._lifter
+        if self.opts.cepstral_scale != 1.0:
+            ceps = ceps * self.opts.cepstral_scale
         if self.opts.use_energy:
             e = log_energy
             if self.opts.energy_floor > 0:
                 e = np.maximum(e, math.log(self.opts.energy_floor))
             ceps[:, 0] = e
+        if self.opts.htk_compat:
+            # C0/energy last; unlike MFCC no sqrt(2) rescale
+            # (reference: feature-plp.cc:250-259)
+            ceps = np.concatenate([ceps[:, 1:], ceps[:, :1]], axis=1)
         return ceps.astype(np.float32)
 
     @partial(jax.jit, static_argnums=0)
     def _device_part(self, waveform, key):
         frames = extract_frames(waveform, self.frame_opts)
         frames, log_energy = process_window(
-            frames, self.frame_opts, self._window, key
+            frames, self.frame_opts, self._window, key,
+            raw_energy=self.opts.raw_energy,
         )
         power = compute_power_spectrum(frames, self.frame_opts)
         mel_energies = jnp.dot(power[:, :-1], self._mel,
                                preferred_element_type=jnp.float32)
+        if self.mel_opts.htk_mode:
+            mel_energies = jnp.maximum(mel_energies, 1.0)
         audspec = (mel_energies * self._eql) ** self.opts.compress_factor
         return audspec, log_energy
