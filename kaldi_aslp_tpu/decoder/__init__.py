@@ -4,6 +4,7 @@ from kaldi_aslp_tpu.decoder.viterbi import (
     equal_align,
 )
 from kaldi_aslp_tpu.decoder.batched import BatchedViterbiDecoder
+from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
 from kaldi_aslp_tpu.decoder.lattice import (
     Lattice,
     generate_lattice,

@@ -1,0 +1,568 @@
+"""Beam-pruned token-passing decoder over CSR-packed arcs, on device.
+
+TPU-native re-design of the reference's pruned decoders (reference:
+src/decoder/faster-decoder.h:61-174 FasterDecoder — hashed active
+tokens, adaptive beam, max-active; src/decoder/lattice-faster-decoder.h:
+96-364 LatticeFasterDecoder — ForwardLink records, PruneActiveTokens;
+driven from src/bin/latgen-faster-mapped.cc).
+
+Where the reference keeps a dynamic hash map of active states, the TPU
+version keeps a FIXED-size frontier of K = max_active tokens and
+re-expresses every step as static-shape vector ops inside one
+``lax.scan`` over frames:
+
+  1. *expansion*: out-arcs of the frontier are enumerated by exclusive-
+     cumsum over per-state degrees + ``searchsorted`` into a fixed arc
+     budget A (the frontier is score-sorted, so on overflow the worst
+     tokens lose their arcs first — the analogue of adaptive-beam
+     tightening);
+  2. *beam prune*: candidates below ``best - beam`` are masked;
+  3. *dedup*: scatter-max into a dense per-state score table (HBM,
+     O(num_states) storage but only O(A) touched entries per frame —
+     the touched entries are scattered back to -inf afterwards, so no
+     per-frame O(S) clear);
+  4. *max-active prune*: ``lax.top_k`` over the A candidates → the new
+     frontier, emitted with (arc id, previous slot) backpointers;
+  5. *epsilon stages*: ``eps_diameter`` further expansion+merge rounds
+     over the eps-arc CSR (the ProcessNonemitting equivalent), each
+     emitting its own backpointer plane so host backtrace can walk
+     through within-frame eps chains.
+
+Everything is bucketed/static so one XLA compile serves all utterances;
+per-chunk host pulls keep memory bounded for arbitrarily long audio.
+Lattice records (all surviving candidate arcs per stage, with graph and
+acoustic costs separable by arc id) feed decoder/lattice.py's Lattice
+type for LMWT sweeps, MBR and n-best exactly like the dense path."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from kaldi_aslp_tpu.decoder.viterbi import NEG_INF, PackedGraph, _round_up
+from kaldi_aslp_tpu.decoder.lattice import Lattice, LatticeArc
+
+
+@dataclass
+class CsrGraph:
+    """Arc arrays grouped by source state (emitting / epsilon split).
+
+    ``*_arc``: index into the original PackedGraph arc arrays, so
+    olabels and exact weights stay addressable from records."""
+
+    em_row_ptr: np.ndarray   # [S+1]
+    em_dst: np.ndarray
+    em_tid: np.ndarray
+    em_olabel: np.ndarray
+    em_weight: np.ndarray
+    em_arc: np.ndarray
+    ep_row_ptr: np.ndarray   # [S+1]
+    ep_dst: np.ndarray
+    ep_olabel: np.ndarray
+    ep_weight: np.ndarray
+    ep_arc: np.ndarray
+    final: np.ndarray        # [S] costs, inf = non-final
+    start: int
+    num_states: int
+    eps_diameter: int
+    packed: PackedGraph
+
+    @classmethod
+    def from_packed(cls, g: PackedGraph) -> "CsrGraph":
+        S = g.num_states
+        order = np.argsort(g.src, kind="stable")
+
+        def csr(mask):
+            ids = order[mask[order]]
+            counts = np.bincount(g.src[ids], minlength=S)
+            row_ptr = np.zeros(S + 1, np.int32)
+            np.cumsum(counts, out=row_ptr[1:])
+            return row_ptr, ids.astype(np.int32)
+
+        em_ptr, em_ids = csr(g.ilabel > 0)
+        ep_ptr, ep_ids = csr(g.ilabel == 0)
+        return cls(
+            em_row_ptr=em_ptr, em_dst=g.dst[em_ids].astype(np.int32),
+            em_tid=g.ilabel[em_ids].astype(np.int32),
+            em_olabel=g.olabel[em_ids].astype(np.int32),
+            em_weight=g.weight[em_ids].astype(np.float32),
+            em_arc=em_ids,
+            ep_row_ptr=ep_ptr, ep_dst=g.dst[ep_ids].astype(np.int32),
+            ep_olabel=g.olabel[ep_ids].astype(np.int32),
+            ep_weight=g.weight[ep_ids].astype(np.float32),
+            ep_arc=ep_ids,
+            final=np.asarray(g.final, np.float32), start=int(g.start),
+            num_states=S, eps_diameter=int(g.eps_diameter), packed=g,
+        )
+
+    @classmethod
+    def from_fst(cls, fst) -> "CsrGraph":
+        return cls.from_packed(PackedGraph.from_fst(fst))
+
+
+def _expand(states, row_ptr, budget: int):
+    """Enumerate the out-arcs of the frontier into a fixed budget.
+
+    Returns (arc_pos [A] int32 absolute positions into the CSR arrays,
+    slot [A] frontier slot each arc came from, valid [A] bool)."""
+    safe = jnp.maximum(states, 0)
+    deg = jnp.where(states >= 0, row_ptr[safe + 1] - row_ptr[safe], 0)
+    cum = jnp.cumsum(deg)                       # inclusive
+    total = cum[-1]
+    j = jnp.arange(budget, dtype=jnp.int32)
+    slot = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    slot_c = jnp.minimum(slot, states.shape[0] - 1)
+    seg_start = cum[slot_c] - deg[slot_c]
+    arc_pos = row_ptr[jnp.maximum(states[slot_c], 0)] + (j - seg_start)
+    valid = (j < total) & (slot < states.shape[0])
+    return jnp.where(valid, arc_pos, 0), slot_c, valid
+
+
+def _dedup_topk(cand_dst, cand_score, valid, dense_score, dense_winner,
+                K: int, trash: int):
+    """Scatter-max dedup over the dense table then top-K.
+
+    Returns (new_states, new_scores, chosen_idx [K] candidate index (or
+    -1 for dead slots), cleared dense tables)."""
+    A = cand_dst.shape[0]
+    dst_idx = jnp.where(valid, cand_dst, trash)
+    score_m = jnp.where(valid, cand_score, NEG_INF)
+    ds = dense_score.at[dst_idx].max(score_m, mode="drop")
+    is_win = valid & (score_m >= ds[dst_idx])
+    jidx = jnp.arange(A, dtype=jnp.int32)
+    dw = dense_winner.at[jnp.where(is_win, dst_idx, trash)].max(
+        jidx, mode="drop")
+    rep = is_win & (dw[dst_idx] == jidx)
+    topk_scores, topk_idx = jax.lax.top_k(
+        jnp.where(rep, score_m, NEG_INF), K)
+    alive = topk_scores > NEG_INF / 2
+    new_states = jnp.where(alive, cand_dst[topk_idx], -1)
+    new_scores = jnp.where(alive, topk_scores, NEG_INF)
+    chosen = jnp.where(alive, topk_idx, -1)
+    # surgical clear of only the touched entries
+    ds = ds.at[dst_idx].set(NEG_INF, mode="drop")
+    dw = dw.at[dst_idx].set(-1, mode="drop")
+    return new_states, new_scores, chosen, ds, dw
+
+
+@partial(jax.jit, static_argnames=(
+    "K", "A", "eps_rounds", "record_lattice"))
+def _beam_scan(
+    loglikes,            # [Tc, P]
+    valid_frames,        # [Tc] bool
+    states, scores,      # carry-in frontier [K]
+    dense_score, dense_winner,   # [Sp+1]
+    em_row_ptr, em_dst, em_pdf, em_weight, em_arc,
+    ep_row_ptr, ep_dst, ep_weight, ep_arc,
+    acoustic_scale, beam,
+    K: int, A: int, eps_rounds: int, record_lattice: bool,
+):
+    """One chunk of frames.  Emits per frame, per stage (0 = emitting,
+    1..eps_rounds = eps) the backpointer planes (arc, prev slot) and,
+    in lattice mode, the surviving candidate records."""
+    trash = dense_score.shape[0] - 1
+
+    def frame(carry, inp):
+        ll_t, v_t = inp
+        st, sc, ds, dw = carry
+
+        stage_arc = []
+        stage_slot = []
+        rec_arc = []
+        rec_slot = []
+        rec_score = []
+
+        # ---- stage 0: emitting arcs consume the acoustic frame ----
+        arc_pos, slot, ok = _expand(st, em_row_ptr, A)
+        ac = acoustic_scale * ll_t[em_pdf[arc_pos]]
+        cand = sc[slot] - em_weight[arc_pos] + ac
+        cand_dst = em_dst[arc_pos]
+        best = jnp.max(jnp.where(ok, cand, NEG_INF))
+        ok = ok & (cand >= best - beam)
+        nst, nsc, chosen, ds, dw = _dedup_topk(
+            cand_dst, cand, ok, ds, dw, K, trash)
+        sel = jnp.maximum(chosen, 0)
+        stage_arc.append(jnp.where(chosen >= 0, em_arc[arc_pos[sel]], -1))
+        stage_slot.append(jnp.where(chosen >= 0, slot[sel], -1))
+        if record_lattice:
+            rec_arc.append(jnp.where(ok, em_arc[arc_pos], -1))
+            rec_slot.append(jnp.where(ok, slot, -1))
+            rec_score.append(jnp.where(ok, cand, NEG_INF))
+        st, sc = nst, nsc
+
+        # ---- eps stages: relax non-emitting arcs, merge with frontier
+        for _ in range(eps_rounds):
+            arc_pos, slot, ok = _expand(st, ep_row_ptr, A)
+            cand_e = sc[slot] - ep_weight[arc_pos]
+            dst_e = ep_dst[arc_pos]
+            ok = ok & (cand_e >= best - beam)
+            # merge candidates with the carried frontier: first K
+            # entries are the frontier itself (arc = -1 marker)
+            m_dst = jnp.concatenate([jnp.where(st >= 0, st, trash), dst_e])
+            m_score = jnp.concatenate([sc, cand_e])
+            m_ok = jnp.concatenate([st >= 0, ok])
+            nst, nsc, chosen, ds, dw = _dedup_topk(
+                m_dst, m_score, m_ok, ds, dw, K, trash)
+            sel = jnp.maximum(chosen, 0)
+            from_eps = chosen >= K
+            eps_sel = jnp.maximum(sel - K, 0)
+            stage_arc.append(jnp.where(
+                from_eps, ep_arc[arc_pos[eps_sel]], -1))
+            stage_slot.append(jnp.where(
+                chosen < 0, -1,
+                jnp.where(from_eps, slot[eps_sel], sel)))
+            if record_lattice:
+                rec_arc.append(jnp.where(ok, ep_arc[arc_pos], -1))
+                rec_slot.append(jnp.where(ok, slot, -1))
+                rec_score.append(jnp.where(ok, cand_e, NEG_INF))
+            st, sc = nst, nsc
+
+        out = (jnp.stack(stage_arc), jnp.stack(stage_slot), sc)
+        if record_lattice:
+            out = out + (jnp.stack(rec_arc), jnp.stack(rec_slot),
+                         jnp.stack(rec_score))
+        # padding frames are no-ops
+        st = jnp.where(v_t, st, carry[0])
+        sc = jnp.where(v_t, sc, carry[1])
+        return (st, sc, ds, dw), out
+
+    (states, scores, dense_score, dense_winner), outs = jax.lax.scan(
+        frame, (states, scores, dense_score, dense_winner),
+        (loglikes, valid_frames))
+    return (states, scores, dense_score, dense_winner), outs
+
+
+class BeamSearchDecoder:
+    """Beam + max-active pruned decode over a CsrGraph.
+
+    decode(loglikes) → (words, alignment, score) like ViterbiDecoder,
+    but with per-frame cost O(A log K) independent of graph size
+    (reference: FasterDecoder semantics).  With
+    ``generate_lattice=True``, decode_lattice() also returns a pruned
+    Lattice built from the surviving candidate arcs (reference:
+    LatticeFasterDecoder::GetRawLattice)."""
+
+    def __init__(self, graph: CsrGraph, tid_to_pdf: np.ndarray,
+                 acoustic_scale: float = 1.0, beam: float = 16.0,
+                 max_active: int = 4096, arc_budget: Optional[int] = None,
+                 chunk: int = 128):
+        if isinstance(graph, PackedGraph):
+            graph = CsrGraph.from_packed(graph)
+        self.graph = graph
+        self.tid_to_pdf = np.asarray(tid_to_pdf, np.int32)
+        self.acoustic_scale = float(acoustic_scale)
+        self.beam = float(beam)
+        self.K = int(max_active)
+        self.A = int(arc_budget or 8 * self.K)
+        self.chunk = int(chunk)
+        self.Sp = _round_up(max(graph.num_states, 1), 1024)
+        self._em_pdf = self.tid_to_pdf[graph.em_tid]
+        # device-resident graph arrays
+        self._dev = {
+            "em_row_ptr": jnp.asarray(graph.em_row_ptr),
+            "em_dst": jnp.asarray(graph.em_dst),
+            "em_pdf": jnp.asarray(self._em_pdf),
+            "em_weight": jnp.asarray(graph.em_weight),
+            "em_arc": jnp.asarray(graph.em_arc),
+            "ep_row_ptr": jnp.asarray(graph.ep_row_ptr),
+            "ep_dst": jnp.asarray(graph.ep_dst),
+            "ep_weight": jnp.asarray(graph.ep_weight),
+            "ep_arc": jnp.asarray(graph.ep_arc),
+        }
+        self.eps_rounds = max(graph.eps_diameter, 0)
+
+    # -- initial frontier: start state + host eps closure --------------
+    def _init_frontier(self):
+        g = self.graph
+        score = {g.start: 0.0}
+        bp: Dict[int, int] = {}
+        frontier = [g.start]
+        for _ in range(max(self.eps_rounds, 1)):
+            new = []
+            for s in frontier:
+                for p in range(g.ep_row_ptr[s], g.ep_row_ptr[s + 1]):
+                    d = int(g.ep_dst[p])
+                    c = score[s] - float(g.ep_weight[p])
+                    if c > score.get(d, -np.inf):
+                        score[d] = c
+                        bp[d] = int(g.ep_arc[p])
+                        new.append(d)
+            frontier = new
+            if not frontier:
+                break
+        items = sorted(score.items(), key=lambda kv: -kv[1])[:self.K]
+        states = np.full(self.K, -1, np.int32)
+        scores = np.full(self.K, NEG_INF, np.float32)
+        for i, (s, c) in enumerate(items):
+            states[i] = s
+            scores[i] = c
+        return states, scores, bp
+
+    def _run(self, loglikes: np.ndarray, record_lattice: bool):
+        T = len(loglikes)
+        states, scores, init_bp = self._init_frontier()
+        st = jnp.asarray(states)
+        sc = jnp.asarray(scores)
+        ds = jnp.full(self.Sp + 1, NEG_INF, jnp.float32)
+        dw = jnp.full(self.Sp + 1, -1, jnp.int32)
+        planes_arc: List[np.ndarray] = []
+        planes_slot: List[np.ndarray] = []
+        recs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        for t0 in range(0, T, self.chunk):
+            tc = min(self.chunk, T - t0)
+            ll = np.zeros((self.chunk, loglikes.shape[1]), np.float32)
+            ll[:tc] = loglikes[t0:t0 + tc]
+            vmask = np.zeros(self.chunk, bool)
+            vmask[:tc] = True
+            (st, sc, ds, dw), outs = _beam_scan(
+                jnp.asarray(ll), jnp.asarray(vmask), st, sc, ds, dw,
+                self._dev["em_row_ptr"], self._dev["em_dst"],
+                self._dev["em_pdf"], self._dev["em_weight"],
+                self._dev["em_arc"],
+                self._dev["ep_row_ptr"], self._dev["ep_dst"],
+                self._dev["ep_weight"], self._dev["ep_arc"],
+                jnp.float32(self.acoustic_scale), jnp.float32(self.beam),
+                self.K, self.A, self.eps_rounds, record_lattice,
+            )
+            planes_arc.append(np.asarray(outs[0])[:tc])
+            planes_slot.append(np.asarray(outs[1])[:tc])
+            if record_lattice:
+                recs.append((np.asarray(outs[3])[:tc],
+                             np.asarray(outs[4])[:tc],
+                             np.asarray(outs[5])[:tc]))
+        arc_planes = (np.concatenate(planes_arc)
+                      if planes_arc else np.zeros((0, 1, self.K), np.int32))
+        slot_planes = (np.concatenate(planes_slot)
+                       if planes_slot else np.zeros((0, 1, self.K), np.int32))
+        return (np.asarray(st), np.asarray(sc), init_bp,
+                arc_planes, slot_planes, recs)
+
+    def _best_final(self, states, scores):
+        g = self.graph
+        final = np.where(states >= 0,
+                         g.final[np.maximum(states, 0)], np.inf)
+        total = np.where(np.isfinite(final), scores - final, -np.inf)
+        k = int(np.argmax(total))
+        if not np.isfinite(total[k]):
+            # no token on a final state: fall back to best score
+            k = int(np.argmax(scores))
+            if scores[k] <= NEG_INF / 2:
+                raise RuntimeError("decode failed: empty frontier")
+            return k, float(scores[k]), False
+        return k, float(total[k]), True
+
+    def decode(self, loglikes: np.ndarray
+               ) -> Tuple[List[int], np.ndarray, float]:
+        T = len(loglikes)
+        states, scores, init_bp, arc_planes, slot_planes, _ = \
+            self._run(np.asarray(loglikes, np.float32), False)
+        k, score, _ = self._best_final(states, scores)
+        words, ali = self._backtrace(
+            k, T, init_bp, arc_planes, slot_planes)
+        return words, ali, score
+
+    def _backtrace(self, slot, T, init_bp, arc_planes, slot_planes):
+        g = self.graph.packed
+        ali = np.zeros(T, np.int32)
+        words_rev: List[int] = []
+        n_stages = arc_planes.shape[1] if T > 0 else 1
+        for t in range(T - 1, -1, -1):
+            for stage in range(n_stages - 1, -1, -1):
+                arc = int(arc_planes[t, stage, slot])
+                prev = int(slot_planes[t, stage, slot])
+                if prev < 0:
+                    raise RuntimeError(
+                        f"broken backpointer t={t} stage={stage}")
+                if arc >= 0:
+                    if g.olabel[arc] > 0:
+                        words_rev.append(int(g.olabel[arc]))
+                    if stage == 0:
+                        ali[t] = g.ilabel[arc]
+                slot = prev
+        # initial eps chain: walk host bp from the frame-0 entry state
+        # (the slot now indexes the initial frontier; recover its state)
+        states0, _, _ = self._init_frontier()
+        s = int(states0[slot])
+        while s in init_bp:
+            a = init_bp[s]
+            if g.olabel[a] > 0:
+                words_rev.append(int(g.olabel[a]))
+            s = int(g.src[a])
+        return list(reversed(words_rev)), ali
+
+    # -- lattice generation -------------------------------------------
+    def decode_lattice(self, loglikes: np.ndarray,
+                       lattice_beam: float = 8.0
+                       ) -> Tuple[List[int], np.ndarray, float, Lattice]:
+        """Best path + pruned lattice from the surviving-arc records
+        (reference: DecodeUtteranceLatticeFaster → GetRawLattice then
+        forward-backward prune at lattice_beam)."""
+        ll = np.asarray(loglikes, np.float32)
+        T = len(ll)
+        states, scores, init_bp, arc_planes, slot_planes, recs = \
+            self._run(ll, True)
+        k, best_score, _ = self._best_final(states, scores)
+        words, ali = self._backtrace(
+            k, T, init_bp, arc_planes, slot_planes)
+        lat = self._build_lattice(ll, recs, best_score, lattice_beam)
+        return words, ali, best_score, lat
+
+    def _build_lattice(self, loglikes, recs, best_score, lattice_beam):
+        """Sparse forward-backward over recorded arcs.
+
+        Records give, per frame and stage, candidate arcs surviving the
+        decode beam.  Recorded eps arcs (which occur *after* the
+        emitting stage of their frame, i.e. at the next time index) are
+        folded as prefixes into the emitting arcs they precede — the
+        same eps-free arc shape the dense lattice builder uses
+        (decoder/lattice.py epsfree_arcs) but restricted to the
+        recorded sparse set, so it stays O(recorded arcs) instead of
+        O(states × arcs).  An arc survives if its forward score + best
+        completion is within lattice_beam of the best path.  Eps
+        suffixes into final states are folded into final costs (word
+        outputs on a pure eps suffix are dropped, matching the dense
+        builder's behavior)."""
+        g = self.graph.packed
+        T = len(loglikes)
+        pdf = self.tid_to_pdf
+        ll = np.asarray(loglikes)
+        rec_arc = np.concatenate([r[0] for r in recs]) if recs else \
+            np.zeros((0, 1, self.A), np.int32)
+
+        # recorded arcs by time: eps arcs recorded in frame t happen at
+        # time t+1; emitting arcs of frame t span t → t+1
+        eps_at: List[List[int]] = [[] for _ in range(T + 1)]
+        em_at: List[List[int]] = [[] for _ in range(T)]
+        n_stages = rec_arc.shape[1] if T > 0 else 1
+        for t in range(T):
+            for stage in range(n_stages):
+                for a in rec_arc[t, stage]:
+                    if a < 0:
+                        continue
+                    a = int(a)
+                    if g.ilabel[a] == 0:
+                        eps_at[t + 1].append(a)
+                    else:
+                        em_at[t].append(a)
+        # time-0 eps arcs come from the host init closure
+        states0, scores0, init_bp = self._init_frontier()
+        for s, a in init_bp.items():
+            eps_at[0].append(int(a))
+        for t in range(T + 1):
+            eps_at[t] = sorted(set(eps_at[t]))
+        for t in range(T):
+            em_at[t] = sorted(set(em_at[t]))
+
+        def prefix_closure(eps_arcs):
+            """clo[u][v] = best (weight, words) eps path u→v over the
+            recorded eps arcs."""
+            nodes = set()
+            for a in eps_arcs:
+                nodes.add(int(g.src[a]))
+                nodes.add(int(g.dst[a]))
+            # relaxation to fixed point: clo[u][v] = best eps path u→v
+            clo: Dict[int, Dict[int, Tuple[float, Tuple[int, ...]]]] = {
+                u: {u: (0.0, ())} for u in nodes
+            }
+            for _ in range(max(self.eps_rounds, 1)):
+                changed = False
+                for a in eps_arcs:
+                    u0, v = int(g.src[a]), int(g.dst[a])
+                    w_a = float(g.weight[a])
+                    words_a = ((int(g.olabel[a]),)
+                               if g.olabel[a] > 0 else ())
+                    for u in nodes:
+                        hit = clo[u].get(u0)
+                        if hit is None:
+                            continue
+                        w, words = hit[0] + w_a, hit[1] + words_a
+                        cur = clo[u].get(v)
+                        if cur is None or w < cur[0]:
+                            clo[u][v] = (w, words)
+                            changed = True
+                if not changed:
+                    break
+            return clo
+
+        closures = {t: prefix_closure(eps_at[t])
+                    for t in range(T + 1) if eps_at[t]}
+
+        # folded eps-free arcs per frame: (u, dst, tid, words,
+        # graph_cost, acoustic_cost)
+        folded: List[List[Tuple]] = [[] for _ in range(T)]
+        for t in range(T):
+            clo = closures.get(t, {})
+            for a in em_at[t]:
+                srcs, d = int(g.src[a]), int(g.dst[a])
+                tid = int(g.ilabel[a])
+                ac = float(-ll[t, pdf[tid]])
+                w_a = float(g.weight[a])
+                words_a = ((int(g.olabel[a]),)
+                           if g.olabel[a] > 0 else ())
+                folded[t].append((srcs, d, tid, words_a, w_a, ac))
+                for u, reach in clo.items():
+                    hit = reach.get(srcs)
+                    if hit is None or u == srcs:
+                        continue
+                    w0, words0 = hit
+                    folded[t].append((u, d, tid, words0 + words_a,
+                                      w0 + w_a, ac))
+
+        # final costs + eps-suffix folding at time T
+        finals = {s: float(c) for s, c in enumerate(self.graph.final)
+                  if np.isfinite(c)}
+        clo_T = closures.get(T, {})
+        for u, reach in clo_T.items():
+            for v, (w0, _words) in reach.items():
+                if v in finals:
+                    cand = w0 + finals[v]
+                    if cand < finals.get(u, np.inf):
+                        finals[u] = cand
+
+        # sparse forward-backward prune at lattice_beam
+        fwd: List[Dict[int, float]] = [dict() for _ in range(T + 1)]
+        for s, c in zip(states0, scores0):
+            if s >= 0 and c > NEG_INF / 2:
+                fwd[0][int(s)] = max(fwd[0].get(int(s), -np.inf),
+                                     float(c))
+        for t in range(T):
+            nxt = fwd[t + 1]
+            for (u, d, tid, words, w_gr, w_ac) in folded[t]:
+                base = fwd[t].get(u)
+                if base is None:
+                    continue
+                sc_ = base - w_gr - self.acoustic_scale * w_ac
+                if sc_ > nxt.get(d, -np.inf):
+                    nxt[d] = sc_
+        bwd: List[Dict[int, float]] = [dict() for _ in range(T + 1)]
+        for s, c in finals.items():
+            bwd[T][s] = -c
+        for t in range(T - 1, -1, -1):
+            cur = bwd[t]
+            for (u, d, tid, words, w_gr, w_ac) in folded[t]:
+                tail = bwd[t + 1].get(d)
+                if tail is None:
+                    continue
+                cand = tail - w_gr - self.acoustic_scale * w_ac
+                if cand > cur.get(u, -np.inf):
+                    cur[u] = cand
+
+        thresh = best_score - lattice_beam
+        arcs_out: List[LatticeArc] = []
+        for t in range(T):
+            for (u, d, tid, words, w_gr, w_ac) in folded[t]:
+                base = fwd[t].get(u)
+                tail = bwd[t + 1].get(d)
+                if base is None or tail is None:
+                    continue
+                if base - w_gr - self.acoustic_scale * w_ac + tail \
+                        < thresh:
+                    continue
+                arcs_out.append(LatticeArc(
+                    t + 1, u, d, tid, words, w_gr, w_ac))
+        return Lattice(T, arcs_out, self.graph.start, finals)
