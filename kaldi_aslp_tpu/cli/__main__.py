@@ -8,8 +8,8 @@ from __future__ import annotations
 
 import sys
 
-from kaldi_aslp_tpu.cli import feat_tools, fst_tools, nnet_tools, \
-    train_tools, vad_tools
+from kaldi_aslp_tpu.cli import feat_tools, fst_tools, lat_tools, \
+    nnet_tools, train_tools, vad_tools
 
 TOOLS = {
     # aslp-nnetbin trainers (blstm/perutt variants are the same loop —
@@ -48,6 +48,11 @@ TOOLS = {
     "aslp-nnet-copy": nnet_tools.nnet_copy,
     "aslp-nnet-dot": nnet_tools.nnet_dot,
     "aslp-nnet-forward": nnet_tools.nnet_forward_cli,
+    # latbin
+    "lattice-best-path": lat_tools.lattice_best_path_cli,
+    "lattice-scale": lat_tools.lattice_scale_cli,
+    "lattice-copy": lat_tools.lattice_copy_cli,
+    "lattice-determinize": lat_tools.lattice_determinize_cli,
     # bin / aslp-bin
     "ali-to-pdf": nnet_tools.ali_to_pdf,
     "aslp-ali-minus-one": nnet_tools.ali_minus_one,

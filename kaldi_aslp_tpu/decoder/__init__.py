@@ -11,6 +11,16 @@ from kaldi_aslp_tpu.decoder.lattice import (
     lattice_best_path,
     score_lmwt_sweep,
 )
+from kaldi_aslp_tpu.decoder.compact import (
+    CompactLattice,
+    StateLattice,
+    compact_lattice_best_path,
+    determinize_lattice,
+    lattice_to_state,
+    scale_lattice,
+    state_lattice_best_path,
+    state_to_lattice,
+)
 from kaldi_aslp_tpu.decoder.mbr import (
     lattice_arc_posteriors,
     minimum_bayes_risk,

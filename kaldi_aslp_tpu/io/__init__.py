@@ -27,4 +27,17 @@ from kaldi_aslp_tpu.io.table import (
     posterior_writer,
 )
 from kaldi_aslp_tpu.io.wave import WaveData, read_wave, write_wave
+from kaldi_aslp_tpu.io.htk import HtkHeader, read_htk, write_htk
+from kaldi_aslp_tpu.io.lattice_io import (
+    CompactLatticeHolder,
+    LatticeHolder,
+    compact_lattice_writer,
+    lattice_writer,
+    random_access_lattice_reader,
+    read_lattice_binary,
+    read_lattice_text,
+    sequential_lattice_reader,
+    write_lattice_binary,
+    write_lattice_text,
+)
 from kaldi_aslp_tpu.io.datadir import DataDir, split_data_dir
