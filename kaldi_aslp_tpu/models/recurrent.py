@@ -119,10 +119,33 @@ class LstmProjectedStreams(Component):
         state = _state_like(state, x)
         if mask is None:
             mask = jnp.ones((S, T), jnp.float32)
-        # inference fast path: Pallas kernel with VMEM-resident weights
-        # (opt-in via <Pallas> attr; forward-only, so training keeps the
-        # differentiable scan)
-        if not train and self.attrs.get("pallas", False):
+        # Pallas fast paths with VMEM-resident weights.  Auto-enabled on
+        # TPU (grads match the scan to float32 rounding, tested);
+        # opt-in/out via the <Pallas> attr; CPU keeps the scan unless
+        # explicitly forced (interpret mode is for tests).
+        use_pallas = self.attrs.get("pallas", None)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            if train:
+                from kaldi_aslp_tpu.ops.lstm_pallas import (
+                    lstmp_train_core,
+                )
+                dt = getattr(self, "compute_dtype", None)
+                xg = _einsum_stg(x, params["w_gifo_x"], dt) \
+                    + params["bias"]
+                peep = jnp.stack([
+                    params["peephole_i_c"], params["peephole_f_c"],
+                    params["peephole_o_c"],
+                ])
+                ys, fc, fr = lstmp_train_core(
+                    xg, mask, params["w_gifo_r"], params["w_r_m"],
+                    peep, state["c"], state["r"],
+                    cell_clip=self.cell_clip,
+                    interpret=jax.default_backend() == "cpu",
+                    store_bf16=dt is not None,
+                )
+                return ys, {"c": fc, "r": fr}
             from kaldi_aslp_tpu.ops.lstm_pallas import (
                 lstmp_forward_pallas_from_params,
             )
@@ -365,10 +388,12 @@ class _Bidirectional(Component):
         if state is None:
             state = self.init_state(S)
         state = _state_like(state, x)
-        y_f, s_f = self.fwd.apply(params["fwd"], x, state["fwd"], mask=mask)
+        y_f, s_f = self.fwd.apply(params["fwd"], x, state["fwd"],
+                                  train=train, rng=rng, mask=mask)
         x_rev = jnp.flip(x, axis=1)
         mask_rev = None if mask is None else jnp.flip(mask, axis=1)
-        y_b, _ = self.bwd.apply(params["bwd"], x_rev, None, mask=mask_rev)
+        y_b, _ = self.bwd.apply(params["bwd"], x_rev, None,
+                                train=train, rng=rng, mask=mask_rev)
         y_b = jnp.flip(y_b, axis=1)
         return jnp.concatenate([y_f, y_b], axis=-1), {"fwd": s_f}
 
@@ -414,7 +439,8 @@ class BLstmProjectedStreamsLC(_Bidirectional):
         if state is None:
             state = self.init_state(S)
         state = _state_like(state, x)
-        y_f, s_f = self.fwd.apply(params["fwd"], x, state["fwd"], mask=mask)
+        y_f, s_f = self.fwd.apply(params["fwd"], x, state["fwd"],
+                                  train=train, rng=rng, mask=mask)
 
         chunk = self.chunk_size
         pad = (-T) % chunk
@@ -427,7 +453,7 @@ class BLstmProjectedStreamsLC(_Bidirectional):
         mc = mp.reshape(S * n_chunks, chunk)
         y_b, _ = self.bwd.apply(
             params["bwd"], jnp.flip(xc, axis=1), None,
-            mask=jnp.flip(mc, axis=1),
+            train=train, rng=rng, mask=jnp.flip(mc, axis=1),
         )
         y_b = jnp.flip(y_b, axis=1).reshape(S, n_chunks * chunk, -1)[:, :T]
         return jnp.concatenate([y_f, y_b], axis=-1), {"fwd": s_f}

@@ -17,6 +17,7 @@ Operates on in-memory (feats, transcripts) dicts + a Lang; stages:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -132,7 +133,20 @@ class HybridRecipe:
                     yield from r.iterate_minibatches()
             yield from r.flush()
 
+        from kaldi_aslp_tpu.train.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
         best = params
+        # resume: the scheduler restores its state from work_dir marker
+        # files; the accepted model must come back with it (the
+        # reference reloads $dir/.mlp_best, train_scheduler.sh:96)
+        if os.path.exists(sched.best_model_path()):
+            best, vel_ck, _, _ = load_checkpoint(sched.best_model_path())
+            if vel_ck is not None:
+                velocity = vel_ck
+            logger.info("resumed best model from %s",
+                        sched.best_model_path())
         while not sched.done:
             params, velocity, rep = trainer.train_epoch(
                 best, velocity, batches(tr_utts, sched.state.iter),
@@ -148,6 +162,7 @@ class HybridRecipe:
             )
             if accepted:
                 best = params
+                save_checkpoint(sched.best_model_path(), best, velocity)
 
         # 4. decode
         if grammar is None:

@@ -36,15 +36,50 @@ from kaldi_aslp_tpu.feats import (
 )
 from kaldi_aslp_tpu.fst import Lang, Lexicon, make_unigram_grammar, \
     make_decode_graph
+from kaldi_aslp_tpu.fst.lang import arpa_to_fst
 from kaldi_aslp_tpu.gmm import MonophoneTrainer, MonoTrainOptions, \
     gmm_loglikes
 from kaldi_aslp_tpu.decoder import PackedGraph, ViterbiDecoder
+from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
+from kaldi_aslp_tpu.decoder.compact import lattice_to_state, \
+    state_lattice_best_path
+from kaldi_aslp_tpu.io.lattice_io import lattice_writer, \
+    sequential_lattice_reader
 from kaldi_aslp_tpu.ops.edit_distance import score_utterances
 from kaldi_aslp_tpu.utils.log import get_logger
 
 logger = get_logger("yesno")
 
 SAMP_FREQ = 8000.0
+
+# the reference task definition, consumed verbatim when present
+# (reference: egs/yesno/s5/input/lexicon.txt, task.arpabo)
+REF_INPUT_DIR = "/root/reference/egs/yesno/s5/input"
+FALLBACK_LEXICON = "<SIL> SIL\nYES Y\nNO N\n"
+FALLBACK_ARPA = """\
+\\data\\
+ngram 1=3
+
+\\1-grams:
+-1\tNO
+-1\tYES
+-99 <s>
+-1 </s>
+
+\\end\\
+"""
+
+
+def load_task_inputs():
+    """lexicon.txt + task.arpabo, preferring the reference's own files
+    (reference: egs/yesno/s5/local/prepare_lm.sh consumes these)."""
+    lex_path = os.path.join(REF_INPUT_DIR, "lexicon.txt")
+    arpa_path = os.path.join(REF_INPUT_DIR, "task.arpabo")
+    lex_text = (open(lex_path).read() if os.path.exists(lex_path)
+                else FALLBACK_LEXICON)
+    arpa_text = (open(arpa_path).read() if os.path.exists(arpa_path)
+                 else FALLBACK_ARPA)
+    return lex_text, arpa_text
 
 # word → (fundamental Hz, formant Hz): distinct spectral shapes
 WORD_TONES = {"YES": (220.0, 1400.0), "NO": (150.0, 700.0)}
@@ -143,8 +178,10 @@ def run(root: str = "exp_yesno", num_utts: int = 60) -> float:
     train_feats = load_feats(root, dirs["train_yesno"], "train_yesno")
     test_feats = load_feats(root, dirs["test_yesno"], "test_yesno")
 
-    # lang prep (input/lexicon.txt equivalent)
-    lex = Lexicon.from_text("YES Y\nNO N\n<SIL> SIL\n")
+    # lang prep from the reference task files (input/lexicon.txt +
+    # task.arpabo consumed verbatim)
+    lex_text, arpa_text = load_task_inputs()
+    lex = Lexicon.from_text(lex_text)
     lang = Lang.build(lex)
     transcripts = {u: t.split() for u, t in
                    dirs["train_yesno"].text.items()}
@@ -157,25 +194,36 @@ def run(root: str = "exp_yesno", num_utts: int = 60) -> float:
     logger.info("mono trained: %d pdfs, %d gaussians",
                 am.num_pdfs, int(am.num_gauss_per_pdf.sum()))
 
-    # graph + decode (task.arpabo is a uniform unigram over YES/NO)
-    G = make_unigram_grammar({"YES": 0.5, "NO": 0.5}, lang.words)
+    # graph from the reference ARPA LM + beam-pruned lattice decode
+    # (decode.sh role: latgen → lattice ark → best-path → WER)
+    G = arpa_to_fst(arpa_text, lang.words)
     hclg = make_decode_graph(lang, G, tm)
     packed = PackedGraph.from_fst(hclg)
     lut = tm.alignment_to_pdfs(np.arange(tm.num_transition_ids + 1))
-    decoder = ViterbiDecoder(packed, lut, acoustic_scale=1.0)
+    decoder = BeamSearchDecoder(
+        CsrGraph.from_packed(packed), lut, acoustic_scale=1.0,
+        beam=32.0, max_active=512, chunk=128,
+    )
     am_packed = am.pack()
 
+    lat_path = os.path.join(root, "lat.ark")
     hyps, refs = {}, {}
     decode_time = 0.0
     audio_time = 0.0
-    for utt, feats in test_feats.items():
-        t1 = time.time()
-        ll = np.asarray(gmm_loglikes(jnp.asarray(feats), *am_packed))
-        words, _, _ = decoder.decode(ll)
-        decode_time += time.time() - t1
-        audio_time += len(feats) * 0.01
+    with lattice_writer(f"ark:{lat_path}") as latw:
+        for utt, feats in test_feats.items():
+            t1 = time.time()
+            ll = np.asarray(gmm_loglikes(jnp.asarray(feats), *am_packed))
+            words, _, _, lat = decoder.decode_lattice(
+                ll, lattice_beam=8.0)
+            decode_time += time.time() - t1
+            audio_time += len(feats) * 0.01
+            latw[utt] = lattice_to_state(lat)
+            refs[utt] = dirs["test_yesno"].text[utt].split()
+    # score from the on-disk lattices (score_basic.sh role)
+    for utt, slat in sequential_lattice_reader(f"ark:{lat_path}"):
+        words, _, _ = state_lattice_best_path(slat)
         hyps[utt] = [lang.words.sym(w) for w in words]
-        refs[utt] = dirs["test_yesno"].text[utt].split()
     stats = score_utterances(refs, hyps)
     rtf = decode_time / max(audio_time, 1e-9)
     logger.info("%s", stats.report())

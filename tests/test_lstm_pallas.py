@@ -42,3 +42,72 @@ def test_pallas_streaming_state(rng):
         np.asarray(jnp.concatenate([y1, y2], axis=1)),
         np.asarray(y_full), rtol=1e-5, atol=1e-6,
     )
+
+
+def test_train_core_matches_scan_value_and_grads(rng):
+    """The custom-VJP Pallas training core must match the scan path's
+    outputs, final states and all parameter gradients (float32
+    rounding), including masked streams and carried-in state."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu.models.recurrent import LstmProjectedStreams
+    from kaldi_aslp_tpu.ops.lstm_pallas import lstmp_train_core
+
+    S, T, D, C, P = 8, 12, 16, 128, 128
+    comp = LstmProjectedStreams(D, P, cell_dim=C, pallas=False)
+    params = comp.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.randn(S, T, D).astype(np.float32))
+    mask = np.ones((S, T), np.float32)
+    mask[1, 8:] = 0
+    mask[3, 5:] = 0
+    mask = jnp.asarray(mask)
+    state = {"c": jnp.asarray(0.1 * rng.randn(S, C).astype(np.float32)),
+             "r": jnp.asarray(0.1 * rng.randn(S, P).astype(np.float32))}
+    w_out = jnp.asarray(rng.randn(S, T, P).astype(np.float32))
+    wc = jnp.asarray(rng.randn(S, C).astype(np.float32))
+    wr = jnp.asarray(rng.randn(S, P).astype(np.float32))
+
+    def scan_loss(p):
+        ys, st = comp.apply(p, x, state=state, train=True, mask=mask)
+        return (jnp.sum(ys * w_out) + jnp.sum(st["c"] * wc)
+                + jnp.sum(st["r"] * wr))
+
+    def pallas_loss(p):
+        xg = jnp.einsum("std,gd->stg", x, p["w_gifo_x"]) + p["bias"]
+        peep = jnp.stack([p["peephole_i_c"], p["peephole_f_c"],
+                          p["peephole_o_c"]])
+        ys, fc, fr = lstmp_train_core(
+            xg, mask, p["w_gifo_r"], p["w_r_m"], peep,
+            state["c"], state["r"], cell_clip=50.0, interpret=True)
+        return (jnp.sum(ys * w_out) + jnp.sum(fc * wc)
+                + jnp.sum(fr * wr))
+
+    l1, g1 = jax.value_and_grad(scan_loss)(params)
+    l2, g2 = jax.value_and_grad(pallas_loss)(params)
+    assert float(jnp.abs(l1 - l2)) < 1e-4
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=2e-4, atol=2e-5,
+            err_msg=k)
+
+
+def test_train_core_stream_padding(rng):
+    """Batches that are not block multiples are zero-padded internally
+    and results sliced back."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu.ops.lstm_pallas import lstmp_train_core
+
+    T, D, C, P = 6, 8, 128, 128
+    rngk = jax.random.PRNGKey(1)
+    w_r = 0.1 * jax.random.normal(rngk, (4 * C, P))
+    w_rm = 0.1 * jax.random.normal(rngk, (P, C))
+    peep = 0.1 * jax.random.normal(rngk, (3, C))
+    for S in (3, 5):
+        xg = jnp.asarray(rng.randn(S, T, 4 * C).astype(np.float32))
+        mask = jnp.ones((S, T), jnp.float32)
+        ys, fc, fr = lstmp_train_core(
+            xg, mask, w_r, w_rm, peep,
+            jnp.zeros((S, C)), jnp.zeros((S, P)), interpret=True)
+        assert ys.shape == (S, T, P)
+        assert fc.shape == (S, C) and fr.shape == (S, P)
