@@ -14,3 +14,7 @@ from kaldi_aslp_tpu.online.server import (
 )
 from kaldi_aslp_tpu.online.vad_pipeline import OnlineVadFeaturePipeline
 from kaldi_aslp_tpu.online.vad_session import VadDecodeSession
+from kaldi_aslp_tpu.online.punctuation import (
+    PunctuationProcessor,
+    token_features,
+)

@@ -56,7 +56,12 @@ class DecodeSession:
         endpoint_config: Optional[OnlineEndpointConfig] = None,
         sil_tids: Optional[np.ndarray] = None,
         chunk_frames: int = 32,
+        punctuation=None,
     ):
+        # optional CRF punctuation on final results (reference:
+        # decode-thread.cc applies PunctuationProcessor before
+        # WriteFinalReslut)
+        self.punctuation = punctuation
         self.features = feature_pipeline
         self.decoder = decoder
         self.acoustic_fn = acoustic_fn
@@ -103,6 +108,8 @@ class DecodeSession:
             return {"type": "final", "text": ""}
         words, _, _ = self.decoder.finalize_decoding()
         text = self._words_to_text(words)
+        if self.punctuation is not None:
+            text = self.punctuation.process(text)
         self.finals.append(text)
         self.decoder.reset()
         self.features.reset()

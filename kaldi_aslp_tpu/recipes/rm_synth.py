@@ -153,16 +153,34 @@ def synthesize(lex: Lexicon, sents: List[List[str]], seed: int = 3
         gain = 1.0 + 0.2 * rng.rand()
         chunks = [np.zeros(int(0.15 * SAMP_FREQ))]
         for w in sent:
-            for ph in pron[w]:
+            phones = pron[w]
+            for j, ph in enumerate(phones):
                 pid = PHONES.index(ph)
                 f0, f1 = _phone_formants(pid)
-                f0, f1 = f0 * warp, f1 * warp
+                # coarticulation: formants glide from/to the neighbour
+                # phones over the phone edges, so triphone modelling has
+                # something real to capture (silence context at edges)
+                prev_f = _phone_formants(PHONES.index(phones[j - 1])) \
+                    if j > 0 else (f0, f1)
+                next_f = _phone_formants(PHONES.index(phones[j + 1])) \
+                    if j + 1 < len(phones) else (f0, f1)
                 dur = 0.06 + 0.05 * rng.rand()
-                t = np.arange(int(dur * SAMP_FREQ)) / SAMP_FREQ
-                env = np.hanning(len(t))
+                n = int(dur * SAMP_FREQ)
+                t = np.arange(n) / SAMP_FREQ
+                u = np.linspace(0.0, 1.0, n)
+                # transition profile: first 35% glides in, last 35% out
+                lam_in = np.clip(1.0 - u / 0.35, 0.0, 1.0) * 0.5
+                lam_out = np.clip((u - 0.65) / 0.35, 0.0, 1.0) * 0.5
+                freq0 = (f0 * (1 - lam_in - lam_out)
+                         + prev_f[0] * lam_in + next_f[0] * lam_out)
+                freq1 = (f1 * (1 - lam_in - lam_out)
+                         + prev_f[1] * lam_in + next_f[1] * lam_out)
+                phase0 = 2 * np.pi * np.cumsum(freq0) / SAMP_FREQ
+                phase1 = 2 * np.pi * np.cumsum(freq1) / SAMP_FREQ
+                env = np.hanning(n) ** 0.5
                 sig = env * gain * (
-                    3000 * np.sin(2 * np.pi * f0 * t)
-                    + 1500 * np.sin(2 * np.pi * f1 * t))
+                    3000 * np.sin(warp * phase0)
+                    + 1500 * np.sin(warp * phase1))
                 chunks.append(sig)
             chunks.append(np.zeros(int((0.04 + 0.05 * rng.rand())
                                        * SAMP_FREQ)))
