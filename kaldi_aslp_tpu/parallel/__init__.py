@@ -6,7 +6,13 @@ from kaldi_aslp_tpu.parallel.mesh import (
     initialize_distributed,
 )
 from kaldi_aslp_tpu.parallel.bsp import make_bsp_train_step, shard_batch
-from kaldi_aslp_tpu.parallel.bmuf import BmufOptions, BmufState, bmuf_sync
+from kaldi_aslp_tpu.parallel.bmuf import (
+    BmufOptions,
+    BmufState,
+    bmuf_sync,
+    make_bmuf_block_step,
+    stack_block_states,
+)
 from kaldi_aslp_tpu.parallel.optimizers import (
     OptimizerOptions,
     make_optimizer,

@@ -71,3 +71,91 @@ def bmuf_sync(
     state.delta = jax.tree_util.tree_unflatten(treedef, new_d)
     state.w_prev = jax.tree_util.tree_unflatten(treedef, new_prev)
     return jax.tree_util.tree_unflatten(treedef, new_w), state
+
+
+def make_bmuf_block_step(
+    loss_fn,
+    update_fn,
+    mesh,
+    opts: Optional[BmufOptions] = None,
+    inner_steps: int = 2,
+    block_axis: str = "block",
+    data_axis: str = "data",
+):
+    """BSP inside blocks, BMUF across blocks, in ONE shard_map over a
+    (block, data) mesh — the runnable form of the reference's
+    "mpirun groups with BMUF sync" topology (reference:
+    aslp_scripts/aslp_nnet/train_scheduler_mpi.sh + bmuf-worker.cc;
+    PARALLELISM.md strategy map).
+
+    Carries (w, w_prev, delta, opt_states) where opt_states has a
+    leading block dim (each block keeps its own local momenta, like the
+    reference workers).  Per call: ``inner_steps`` of psum-BSP SGD over
+    the block's data shard, then the BMUF momentum filter over the
+    across-block model average.
+
+    Returns step(w, w_prev, delta, opt_states, batch, lr) →
+    (w, w_prev, delta, opt_states, loss)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    opts = opts or BmufOptions()
+    m, blr = opts.bmuf_momentum, opts.bmuf_learn_rate
+
+    def shard_step(w, w_prev, delta, opt_blk, batch, lr):
+        opt = jax.tree_util.tree_map(lambda v: v[0], opt_blk)
+        # the carry becomes block-varying after the first inner step
+        # (each block sees different data); mark it so up front or the
+        # scan carry typecheck rejects it (see CLAUDE.md VMA invariant)
+        def vary(t):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.pcast(a, (block_axis,), to="varying"),
+                t)
+        p = vary(w)
+
+        def one(carry, _):
+            p, opt = carry
+
+            def global_loss(pp):
+                loss, aux = loss_fn(pp, batch)
+                return jax.lax.pmean(loss, data_axis), aux
+
+            (loss, _aux), grads = jax.value_and_grad(
+                global_loss, has_aux=True)(p)
+            p, opt = update_fn(p, grads, opt, lr)
+            return (p, opt), loss
+
+        (p, opt), losses = jax.lax.scan(
+            one, (p, opt), None, length=inner_steps)
+        p_avg = jax.tree_util.tree_map(
+            lambda a: jax.lax.pmean(a, block_axis), p)
+        # BMUF filter (replicated math, identical on every device)
+        g = jax.tree_util.tree_map(lambda a, b: a - b, p_avg, w_prev)
+        new_delta = jax.tree_util.tree_map(
+            lambda d, gg: m * d + (1.0 - m) * blr * gg, delta, g)
+        new_prev = jax.tree_util.tree_map(
+            lambda wp, d: wp + d, w_prev, new_delta)
+        if opts.nesterov:
+            new_w = jax.tree_util.tree_map(
+                lambda wb, d: wb + m * d, new_prev, new_delta)
+        else:
+            new_w = new_prev
+        loss_out = jax.lax.pmean(losses[-1], block_axis)
+        opt_out = jax.tree_util.tree_map(lambda v: v[None], opt)
+        return new_w, new_prev, new_delta, opt_out, loss_out
+
+    step = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(block_axis),
+                  P((block_axis, data_axis)), P()),
+        out_specs=(P(), P(), P(), P(block_axis), P()),
+    )
+    return jax.jit(step)
+
+
+def stack_block_states(opt_state, num_blocks: int):
+    """Replicate an optimizer state with a leading block dimension (the
+    per-block local momenta carried by make_bmuf_block_step)."""
+    return jax.tree_util.tree_map(
+        lambda v: jnp.stack([v] * num_blocks), opt_state)

@@ -141,12 +141,12 @@ class HybridRecipe:
         # resume: the scheduler restores its state from work_dir marker
         # files; the accepted model must come back with it (the
         # reference reloads $dir/.mlp_best, train_scheduler.sh:96)
-        if os.path.exists(sched.best_model_path()):
-            best, vel_ck, _, _ = load_checkpoint(sched.best_model_path())
+        if os.path.exists(sched.best_model_path):
+            best, vel_ck, _, _ = load_checkpoint(sched.best_model_path)
             if vel_ck is not None:
                 velocity = vel_ck
             logger.info("resumed best model from %s",
-                        sched.best_model_path())
+                        sched.best_model_path)
         while not sched.done:
             params, velocity, rep = trainer.train_epoch(
                 best, velocity, batches(tr_utts, sched.state.iter),
@@ -162,7 +162,7 @@ class HybridRecipe:
             )
             if accepted:
                 best = params
-                save_checkpoint(sched.best_model_path(), best, velocity)
+                save_checkpoint(sched.best_model_path, best, velocity)
 
         # 4. decode
         if grammar is None:
