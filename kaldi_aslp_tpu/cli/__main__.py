@@ -48,11 +48,18 @@ TOOLS = {
     "aslp-nnet-copy": nnet_tools.nnet_copy,
     "aslp-nnet-dot": nnet_tools.nnet_dot,
     "aslp-nnet-forward": nnet_tools.nnet_forward_cli,
+    # forward variants: same loop, behavior via --skip-width/--skip-mode
+    # and the MIMO-capable library apply (reference: aslp-nnet-forward-
+    # skip.cc / -mimo.cc are parameter variants of the same main)
+    "aslp-nnet-forward-skip": nnet_tools.nnet_forward_cli,
+    "aslp-nnet-convert-to-standard": nnet_tools.nnet_convert_to_standard,
     # latbin
     "lattice-best-path": lat_tools.lattice_best_path_cli,
     "lattice-scale": lat_tools.lattice_scale_cli,
     "lattice-copy": lat_tools.lattice_copy_cli,
     "lattice-determinize": lat_tools.lattice_determinize_cli,
+    "latgen-faster-mapped": lat_tools.latgen_faster_mapped_cli,
+    "aslp-latgen-faster-rtf": lat_tools.latgen_faster_rtf_cli,
     # bin / aslp-bin
     "ali-to-pdf": nnet_tools.ali_to_pdf,
     "aslp-ali-minus-one": nnet_tools.ali_minus_one,

@@ -136,3 +136,83 @@ def lattice_determinize_cli(argv):
             n += 1
     print(f"Determinized {n} lattices", file=sys.stderr)
     return 0
+
+
+def latgen_faster_mapped_cli(argv, report_rtf: bool = False):
+    """Beam-pruned lattice decode of loglike matrices (reference:
+    src/bin/latgen-faster-mapped.cc:33-151 — THE hybrid decode binary;
+    with report_rtf=True it is aslp-latgen-faster-rtf, reference:
+    src/aslp-onlinebin/aslp-latgen-faster-rtf.cc:131-144).
+
+    The model argument is a tid→pdf LUT text file (one int per line,
+    index = transition id) as in ali-to-pdf; the graph is our FST text
+    format."""
+    import time
+
+    import numpy as np
+
+    @dataclasses.dataclass
+    class Flags(Config):
+        acoustic_scale: float = 0.1
+        beam: float = 16.0
+        max_active: int = 7000
+        lattice_beam: float = 8.0
+        frame_shift: float = 0.01
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags],
+        "latgen-faster-mapped tid2pdf.txt HCLG.txt loglikes-rspec "
+        "lattice-wspec [words-wspec]", 4, 5,
+    )
+    from kaldi_aslp_tpu.fst.fst import Fst
+    from kaldi_aslp_tpu.decoder import PackedGraph
+    from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
+    from kaldi_aslp_tpu.decoder.compact import lattice_to_state
+    from kaldi_aslp_tpu.io import (int_vector_writer, lattice_writer,
+                                   sequential_matrix_reader)
+
+    lut = np.loadtxt(args[0], dtype=np.int64).reshape(-1)
+    with open(args[1]) as f:
+        fst = Fst.from_text(f.read())
+    dec = BeamSearchDecoder(
+        CsrGraph.from_packed(PackedGraph.from_fst(fst)), lut,
+        acoustic_scale=flags.acoustic_scale, beam=flags.beam,
+        max_active=int(flags.max_active),
+    )
+    words_w = int_vector_writer(args[4]) if len(args) > 4 else None
+    n_done, n_fail = 0, 0
+    tot_audio, tot_decode = 0.0, 0.0
+    with lattice_writer(args[3]) as latw:
+        for utt, ll in sequential_matrix_reader(args[2]):
+            t0 = time.time()
+            try:
+                words, ali, score, lat = dec.decode_lattice(
+                    np.asarray(ll, np.float32),
+                    lattice_beam=flags.lattice_beam)
+            except RuntimeError as e:
+                print(f"{utt}: decode failed: {e}", file=sys.stderr)
+                n_fail += 1
+                continue
+            dt = time.time() - t0
+            audio = len(ll) * flags.frame_shift
+            tot_decode += dt
+            tot_audio += audio
+            if report_rtf:
+                print(f"{utt} rtf {dt / max(audio, 1e-9):.4f} "
+                      f"({dt:.2f}s / {audio:.2f}s)", file=sys.stderr)
+            latw[utt] = lattice_to_state(lat)
+            if words_w is not None:
+                words_w[utt] = words
+            n_done += 1
+    if words_w is not None:
+        words_w.close()
+    if report_rtf and tot_audio > 0:
+        print(f"TOTAL rtf {tot_decode / tot_audio:.4f} "
+              f"({tot_decode:.2f}s / {tot_audio:.2f}s)", file=sys.stderr)
+    print(f"Done {n_done} utterances, failed {n_fail}", file=sys.stderr)
+    return 0 if n_done else 1
+
+
+def latgen_faster_rtf_cli(argv):
+    return latgen_faster_mapped_cli(argv, report_rtf=True)

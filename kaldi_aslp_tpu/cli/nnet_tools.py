@@ -167,3 +167,27 @@ def compute_wer(argv):
     print(f"%SER {stats.ser:.2f} [ {stats.num_wrong_sentences} / "
           f"{stats.num_sentences} ]")
     return 0
+
+
+def nnet_convert_to_standard(argv):
+    """Graph net → plain-chain net (reference:
+    aslp-nnetbin/aslp-nnet-convert-to-standard.cc via Nnet::
+    WriteStandard, nnet-nnet.h:143 — drops graph metadata so simple
+    chains round-trip without DAG bookkeeping)."""
+    args = parse_options(
+        argv, [], "aslp-nnet-convert-to-standard in.knet out.knet", 2, 2
+    )
+    net, params, _states = Nnet.load(args[0])
+    new_params = {}
+    chain = Nnet()
+    for i, node in enumerate(net.nodes):
+        want = [("in:0", 0)] if i == 0 else [(i - 1, 0)]
+        if [tuple(e) for e in node.inputs] != want:
+            print("aslp-nnet-convert-to-standard: net is not a simple "
+                  "chain (MIMO/branching graph)", file=sys.stderr)
+            return 1
+        cid = chain.add(node.comp)
+        new_params[str(cid)] = params[str(i)]
+    chain.save(args[1], new_params)
+    print(f"Converted {len(net.nodes)} components", file=sys.stderr)
+    return 0

@@ -124,22 +124,52 @@ def _expand(states, row_ptr, budget: int):
 
 
 def _dedup_topk(cand_dst, cand_score, valid, dense_score, dense_winner,
-                K: int, trash: int):
+                K: int, trash: int, approx: bool = False):
     """Scatter-max dedup over the dense table then top-K.
+
+    ``approx`` uses lax.approx_max_k — much faster on TPU and the right
+    analogue of the reference's hashed max-active pruning, which is
+    itself approximate (faster-decoder.h GetCutoff).
 
     Returns (new_states, new_scores, chosen_idx [K] candidate index (or
     -1 for dead slots), cleared dense tables)."""
     A = cand_dst.shape[0]
-    dst_idx = jnp.where(valid, cand_dst, trash)
-    score_m = jnp.where(valid, cand_score, NEG_INF)
-    ds = dense_score.at[dst_idx].max(score_m, mode="drop")
-    is_win = valid & (score_m >= ds[dst_idx])
-    jidx = jnp.arange(A, dtype=jnp.int32)
-    dw = dense_winner.at[jnp.where(is_win, dst_idx, trash)].max(
-        jidx, mode="drop")
-    rep = is_win & (dw[dst_idx] == jidx)
-    topk_scores, topk_idx = jax.lax.top_k(
-        jnp.where(rep, score_m, NEG_INF), K)
+    score_all = jnp.where(valid, cand_score, NEG_INF)
+    if approx:
+        # TPU scatters serialize per element, so dedup over all A
+        # candidates dominates the frame.  Instead: approx-select the
+        # best 2K candidates FIRST (fast sublane-parallel op), dedup
+        # only those by scatter (16x fewer updates), exact top-K last.
+        # A state can lose its duplicate-shadowed runner-up slot — the
+        # same class of approximation as the reference's hashed
+        # max-active cutoff (faster-decoder.h GetCutoff).
+        K2 = min(2 * K, A)
+        pre_scores, pre_idx = jax.lax.approx_max_k(
+            score_all, K2, recall_target=0.95)
+        pre_idx = pre_idx.astype(jnp.int32)
+        pre_dst = cand_dst[pre_idx]
+        alive0 = pre_scores > NEG_INF / 2
+        dst_idx = jnp.where(alive0, pre_dst, trash)
+        ds = dense_score.at[dst_idx].max(
+            jnp.where(alive0, pre_scores, NEG_INF), mode="drop")
+        is_win = alive0 & (pre_scores >= ds[dst_idx])
+        kidx = jnp.arange(K2, dtype=jnp.int32)
+        dw = dense_winner.at[jnp.where(is_win, dst_idx, trash)].max(
+            kidx, mode="drop")
+        rep = is_win & (dw[dst_idx] == kidx)
+        masked = jnp.where(rep, pre_scores, NEG_INF)
+        topk_scores, sel = jax.lax.top_k(masked, K)
+        topk_idx = pre_idx[sel]
+    else:
+        dst_idx = jnp.where(valid, cand_dst, trash)
+        ds = dense_score.at[dst_idx].max(score_all, mode="drop")
+        is_win = valid & (score_all >= ds[dst_idx])
+        jidx = jnp.arange(A, dtype=jnp.int32)
+        dw = dense_winner.at[jnp.where(is_win, dst_idx, trash)].max(
+            jidx, mode="drop")
+        rep = is_win & (dw[dst_idx] == jidx)
+        masked = jnp.where(rep, score_all, NEG_INF)
+        topk_scores, topk_idx = jax.lax.top_k(masked, K)
     alive = topk_scores > NEG_INF / 2
     new_states = jnp.where(alive, cand_dst[topk_idx], -1)
     new_scores = jnp.where(alive, topk_scores, NEG_INF)
@@ -151,21 +181,29 @@ def _dedup_topk(cand_dst, cand_score, valid, dense_score, dense_winner,
 
 
 @partial(jax.jit, static_argnames=(
-    "K", "A", "eps_rounds", "record_lattice"))
+    "K", "A", "chunk", "eps_rounds", "record_lattice", "approx_topk"))
 def _beam_scan(
-    loglikes,            # [Tc, P]
-    valid_frames,        # [Tc] bool
+    ll_all,              # [Tp, P] device-resident acoustic scores
+    t0,                  # scalar: first frame of this chunk
+    total_t,             # scalar: true utterance length
     states, scores,      # carry-in frontier [K]
     dense_score, dense_winner,   # [Sp+1]
     em_row_ptr, em_dst, em_pdf, em_weight, em_arc,
     ep_row_ptr, ep_dst, ep_weight, ep_arc,
     acoustic_scale, beam,
-    K: int, A: int, eps_rounds: int, record_lattice: bool,
+    K: int, A: int, chunk: int, eps_rounds: int, record_lattice: bool,
+    approx_topk: bool = False,
 ):
-    """One chunk of frames.  Emits per frame, per stage (0 = emitting,
-    1..eps_rounds = eps) the backpointer planes (arc, prev slot) and,
-    in lattice mode, the surviving candidate records."""
+    """One chunk of frames starting at traced offset ``t0`` (the slice
+    happens inside the jit so ONE compile serves every chunk — eager
+    per-offset slicing would recompile per chunk, which through a
+    remote-compile tunnel costs seconds each).  Emits per frame, per
+    stage (0 = emitting, 1..eps_rounds = eps) the backpointer planes
+    (arc, prev slot) and, in lattice mode, the surviving candidate
+    records."""
     trash = dense_score.shape[0] - 1
+    loglikes = jax.lax.dynamic_slice_in_dim(ll_all, t0, chunk)
+    valid_frames = (t0 + jnp.arange(chunk)) < total_t
 
     def frame(carry, inp):
         ll_t, v_t = inp
@@ -185,7 +223,7 @@ def _beam_scan(
         best = jnp.max(jnp.where(ok, cand, NEG_INF))
         ok = ok & (cand >= best - beam)
         nst, nsc, chosen, ds, dw = _dedup_topk(
-            cand_dst, cand, ok, ds, dw, K, trash)
+            cand_dst, cand, ok, ds, dw, K, trash, approx_topk)
         sel = jnp.maximum(chosen, 0)
         stage_arc.append(jnp.where(chosen >= 0, em_arc[arc_pos[sel]], -1))
         stage_slot.append(jnp.where(chosen >= 0, slot[sel], -1))
@@ -207,7 +245,7 @@ def _beam_scan(
             m_score = jnp.concatenate([sc, cand_e])
             m_ok = jnp.concatenate([st >= 0, ok])
             nst, nsc, chosen, ds, dw = _dedup_topk(
-                m_dst, m_score, m_ok, ds, dw, K, trash)
+                m_dst, m_score, m_ok, ds, dw, K, trash, approx_topk)
             sel = jnp.maximum(chosen, 0)
             from_eps = chosen >= K
             eps_sel = jnp.maximum(sel - K, 0)
@@ -222,11 +260,17 @@ def _beam_scan(
                 rec_score.append(jnp.where(ok, cand_e, NEG_INF))
             st, sc = nst, nsc
 
-        out = (jnp.stack(stage_arc), jnp.stack(stage_slot), sc)
+        # padding frames are no-ops; their backpointer planes are the
+        # identity so backtrace can walk straight through them
+        ident = jnp.arange(K, dtype=jnp.int32)
+        arcs_out = jnp.stack(
+            [jnp.where(v_t, a, -1) for a in stage_arc])
+        slots_out = jnp.stack(
+            [jnp.where(v_t, s, ident) for s in stage_slot])
+        out = (arcs_out, slots_out, sc)
         if record_lattice:
             out = out + (jnp.stack(rec_arc), jnp.stack(rec_slot),
                          jnp.stack(rec_score))
-        # padding frames are no-ops
         st = jnp.where(v_t, st, carry[0])
         sc = jnp.where(v_t, sc, carry[1])
         return (st, sc, ds, dw), out
@@ -235,6 +279,27 @@ def _beam_scan(
         frame, (states, scores, dense_score, dense_winner),
         (loglikes, valid_frames))
     return (states, scores, dense_score, dense_winner), outs
+
+
+@partial(jax.jit, static_argnames=("stages",))
+def _backtrace_scan(arc_planes, slot_planes, start_slot, stages: int):
+    """Device backtrace: walk the (time, stage) backpointer planes from
+    the winning final slot.  Returns (slot at t=0, arcs [T, stages] in
+    reverse traversal order — row 0 is the LAST frame, and within a row
+    stages are descending)."""
+
+    def step(slot, planes):
+        arcs_t, slots_t = planes
+        outs = []
+        for s in range(stages - 1, -1, -1):
+            outs.append(arcs_t[s, slot])
+            slot = slots_t[s, slot]
+        return slot, jnp.stack(outs)
+
+    slot, arcs = jax.lax.scan(
+        step, jnp.asarray(start_slot, jnp.int32),
+        (arc_planes[::-1], slot_planes[::-1]))
+    return slot, arcs
 
 
 class BeamSearchDecoder:
@@ -250,7 +315,7 @@ class BeamSearchDecoder:
     def __init__(self, graph: CsrGraph, tid_to_pdf: np.ndarray,
                  acoustic_scale: float = 1.0, beam: float = 16.0,
                  max_active: int = 4096, arc_budget: Optional[int] = None,
-                 chunk: int = 128):
+                 chunk: int = 128, approx_topk: Optional[bool] = None):
         if isinstance(graph, PackedGraph):
             graph = CsrGraph.from_packed(graph)
         self.graph = graph
@@ -260,6 +325,12 @@ class BeamSearchDecoder:
         self.K = int(max_active)
         self.A = int(arc_budget or 8 * self.K)
         self.chunk = int(chunk)
+        if approx_topk is None:
+            # approx_max_k lowers to a fast TPU op; on CPU it is just a
+            # slower exact top_k emulation
+            import jax as _jax
+            approx_topk = _jax.default_backend() == "tpu"
+        self.approx_topk = bool(approx_topk)
         self.Sp = _round_up(max(graph.num_states, 1), 1024)
         self._em_pdf = self.tid_to_pdf[graph.em_tid]
         # device-resident graph arrays
@@ -275,6 +346,32 @@ class BeamSearchDecoder:
             "ep_arc": jnp.asarray(graph.ep_arc),
         }
         self.eps_rounds = max(graph.eps_diameter, 0)
+
+
+    def _pad_device(self, loglikes, T: int):
+        """Pad to a power-of-two number of chunks so the jitted scan
+        compiles O(log T) times total, not once per utterance length."""
+        ll_dev = jnp.asarray(loglikes, jnp.float32)
+        n_chunks = max(1, (T + self.chunk - 1) // self.chunk)
+        n_chunks = 1 << (n_chunks - 1).bit_length()
+        Tp = n_chunks * self.chunk
+        if Tp > T:
+            ll_dev = jnp.pad(ll_dev, ((0, Tp - T), (0, 0)))
+        return ll_dev, Tp
+
+    def _scan_chunk(self, ll_dev, t0: int, T: int, st, sc, ds, dw,
+                    record_lattice: bool):
+        return _beam_scan(
+            ll_dev, jnp.int32(t0), jnp.int32(T), st, sc, ds, dw,
+            self._dev["em_row_ptr"], self._dev["em_dst"],
+            self._dev["em_pdf"], self._dev["em_weight"],
+            self._dev["em_arc"],
+            self._dev["ep_row_ptr"], self._dev["ep_dst"],
+            self._dev["ep_weight"], self._dev["ep_arc"],
+            jnp.float32(self.acoustic_scale), jnp.float32(self.beam),
+            self.K, self.A, self.chunk, self.eps_rounds,
+            record_lattice, self.approx_topk,
+        )
 
     # -- initial frontier: start state + host eps closure --------------
     def _init_frontier(self):
@@ -313,22 +410,11 @@ class BeamSearchDecoder:
         planes_arc: List[np.ndarray] = []
         planes_slot: List[np.ndarray] = []
         recs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        ll_dev, _Tp = self._pad_device(loglikes, T)
         for t0 in range(0, T, self.chunk):
             tc = min(self.chunk, T - t0)
-            ll = np.zeros((self.chunk, loglikes.shape[1]), np.float32)
-            ll[:tc] = loglikes[t0:t0 + tc]
-            vmask = np.zeros(self.chunk, bool)
-            vmask[:tc] = True
-            (st, sc, ds, dw), outs = _beam_scan(
-                jnp.asarray(ll), jnp.asarray(vmask), st, sc, ds, dw,
-                self._dev["em_row_ptr"], self._dev["em_dst"],
-                self._dev["em_pdf"], self._dev["em_weight"],
-                self._dev["em_arc"],
-                self._dev["ep_row_ptr"], self._dev["ep_dst"],
-                self._dev["ep_weight"], self._dev["ep_arc"],
-                jnp.float32(self.acoustic_scale), jnp.float32(self.beam),
-                self.K, self.A, self.eps_rounds, record_lattice,
-            )
+            (st, sc, ds, dw), outs = self._scan_chunk(
+                ll_dev, t0, T, st, sc, ds, dw, record_lattice)
             planes_arc.append(np.asarray(outs[0])[:tc])
             planes_slot.append(np.asarray(outs[1])[:tc])
             if record_lattice:
@@ -358,13 +444,59 @@ class BeamSearchDecoder:
 
     def decode(self, loglikes: np.ndarray
                ) -> Tuple[List[int], np.ndarray, float]:
+        """Best-path decode with device-resident backpointer planes and
+        a device-side backtrace scan — only ~T ints cross the host
+        boundary (backpointer planes are ~MBs per chunk, which through
+        a remote-device tunnel dominates wall time; the reference's
+        host decoder has no such boundary to worry about)."""
         T = len(loglikes)
-        states, scores, init_bp, arc_planes, slot_planes, _ = \
-            self._run(np.asarray(loglikes, np.float32), False)
-        k, score, _ = self._best_final(states, scores)
-        words, ali = self._backtrace(
-            k, T, init_bp, arc_planes, slot_planes)
-        return words, ali, score
+        states0, scores0, init_bp = self._init_frontier()
+        st = jnp.asarray(states0)
+        sc = jnp.asarray(scores0)
+        ds = jnp.full(self.Sp + 1, NEG_INF, jnp.float32)
+        dw = jnp.full(self.Sp + 1, -1, jnp.int32)
+        # single upload (or no-op if the AM already produced the scores
+        # on device); the chunk offset is a traced scalar so one compile
+        # serves every chunk
+        ll_dev, Tp = self._pad_device(loglikes, T)
+        dev_arc = []
+        dev_slot = []
+        for t0 in range(0, T, self.chunk):
+            (st, sc, ds, dw), outs = self._scan_chunk(
+                ll_dev, t0, T, st, sc, ds, dw, False)
+            dev_arc.append(outs[0])
+            dev_slot.append(outs[1])
+        k, score, _ = self._best_final(np.asarray(st), np.asarray(sc))
+        if T == 0:
+            return [], np.zeros(0, np.int32), score
+        arc_planes = jnp.concatenate(dev_arc)
+        slot_planes = jnp.concatenate(dev_slot)
+        n_stages = arc_planes.shape[1]
+        final_slot, arcs_rev = _backtrace_scan(
+            arc_planes, slot_planes, k, n_stages)
+        arcs_rt = np.asarray(arcs_rev)          # [Tp, stages desc]
+        final_slot = int(final_slot)
+        g = self.graph.packed
+        Tp = arcs_rt.shape[0]
+        ali = np.zeros(T, np.int32)
+        words_rev: List[int] = []
+        for t_rev in range(Tp):
+            frame = Tp - 1 - t_rev
+            for arc in arcs_rt[t_rev]:          # stage descending
+                arc = int(arc)
+                if arc < 0:
+                    continue
+                if g.olabel[arc] > 0:
+                    words_rev.append(int(g.olabel[arc]))
+                if g.ilabel[arc] > 0 and frame < T:
+                    ali[frame] = g.ilabel[arc]
+        s = int(states0[final_slot])
+        while s in init_bp:
+            a = init_bp[s]
+            if g.olabel[a] > 0:
+                words_rev.append(int(g.olabel[a]))
+            s = int(g.src[a])
+        return list(reversed(words_rev)), ali, score
 
     def _backtrace(self, slot, T, init_bp, arc_planes, slot_planes):
         g = self.graph.packed

@@ -18,3 +18,7 @@ from kaldi_aslp_tpu.online.punctuation import (
     PunctuationProcessor,
     token_features,
 )
+from kaldi_aslp_tpu.online.batching import (
+    AcousticBatcher,
+    BatchedDecodeSession,
+)

@@ -137,10 +137,17 @@ class OnlineTcpServer:
                     break
                 samples = np.frombuffer(data, dtype="<i2").astype(
                     np.float32)
-                for event in session.accept_samples(samples):
+                if hasattr(session, "accept_samples_async"):
+                    events = await session.accept_samples_async(samples)
+                else:
+                    events = session.accept_samples(samples)
+                for event in events:
                     writer.write((json.dumps(event) + "\n").encode())
                     await writer.drain()
-            final = session.finalize()
+            if hasattr(session, "finalize_async"):
+                final = await session.finalize_async()
+            else:
+                final = session.finalize()
             writer.write((json.dumps(final) + "\n").encode())
             await writer.drain()
         except (ConnectionResetError, asyncio.IncompleteReadError):

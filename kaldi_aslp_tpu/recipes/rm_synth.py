@@ -252,7 +252,7 @@ def _decode_wer(packed, lut, test_ll, refs, lang, acoustic_scale,
 
 
 def run(root: str = "exp_rm_synth", num_words: int = 60,
-        num_train: int = 160, num_test: int = 60):
+        num_train: int = 300, num_test: int = 80):
     os.makedirs(root, exist_ok=True)
     t_start = time.time()
     lex_text = make_lexicon(num_words)
@@ -279,8 +279,8 @@ def run(root: str = "exp_rm_synth", num_words: int = 60,
 
     # ---- stage 1: mono (train_mono.sh) ----
     mono = MonophoneTrainer(lang, opts=MonoTrainOptions(
-        num_iters=14, totgauss=1000,
-        realign_iters="1 2 3 4 5 6 8 10 12"))
+        num_iters=12, totgauss=800,
+        realign_iters="1 2 3 4 5 6 8 10"))
     am0, tm0 = mono.train(train_feats, train_texts)
     from kaldi_aslp_tpu.fst import make_decode_graph
     hclg0 = make_decode_graph(lang, G, tm0)
@@ -297,7 +297,7 @@ def run(root: str = "exp_rm_synth", num_words: int = 60,
     # ---- stage 2: deltas triphones (train_deltas.sh) ----
     alis = mono.align(am0, train_feats, train_texts)
     tri = DeltasTrainer(lang, mono.topo, DeltasTrainOptions(
-        num_iters=10, totgauss=2000, num_leaves=300,
+        num_iters=10, totgauss=1800, num_leaves=150,
         realign_iters="2 4 6 8", tree_min_gain=20.0))
     am1, tm1 = tri.train(train_feats, train_texts, tm0, alis)
     hclg1, tm1d = make_cd_decode_graph(lang, G, tri)

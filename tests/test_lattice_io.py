@@ -211,3 +211,40 @@ def test_lattice_cli_chain(decoded, tmp_path):
     assert [int(x) for x in tra[1:]] == decoded["words"]
     ali = (tmp_path / "ali.txt").read_text().split()
     assert [int(x) for x in ali[1:]] == list(decoded["ali"])
+
+
+def test_latgen_faster_mapped_cli(decoded, tmp_path):
+    """The hybrid decode binary: HCLG text + tid2pdf + loglikes ark →
+    lattices + words (reference: bin/latgen-faster-mapped.cc;
+    aslp-latgen-faster-rtf.cc adds per-utt/total RTF lines)."""
+    from kaldi_aslp_tpu.io import matrix_writer
+
+    lang = decoded["lang"]
+    np.savetxt(tmp_path / "tid2pdf.txt",
+               decoded["lut"].reshape(-1, 1), fmt="%d")
+    # regenerate the graph text from the fixture's packed form source
+    from kaldi_aslp_tpu.fst import Lang, Lexicon, make_unigram_grammar
+    from kaldi_aslp_tpu.fst.ctc_graph import make_ctc_decode_graph
+    lex = Lexicon.from_text("YES Y\nNO N\n<SIL> SIL\n")
+    lang2 = Lang.build(lex)
+    G = make_unigram_grammar({"YES": 0.6, "NO": 0.4}, lang2.words)
+    tlg = make_ctc_decode_graph(lang2, G)
+    (tmp_path / "HCLG.txt").write_text(tlg.to_text())
+    with matrix_writer(f"ark:{tmp_path}/ll.ark") as w:
+        w["u1"] = decoded["ll"]
+
+    # in-process so the jit cache from the fixture's decoder is reused
+    # (a subprocess would pay a multi-minute cold XLA compile)
+    from kaldi_aslp_tpu.cli.lat_tools import latgen_faster_rtf_cli
+    rc = latgen_faster_rtf_cli([
+        "--acoustic-scale=1.0", "--beam=1e9", "--max-active=64",
+        str(tmp_path / "tid2pdf.txt"), str(tmp_path / "HCLG.txt"),
+        f"ark:{tmp_path}/ll.ark", f"ark:{tmp_path}/lat.ark",
+        f"ark,t:{tmp_path}/words.txt"])
+    assert rc == 0
+    words = [int(x) for x in
+             (tmp_path / "words.txt").read_text().split()[1:]]
+    assert words == decoded["words"]
+    got = dict(sequential_lattice_reader(f"ark:{tmp_path}/lat.ark"))
+    w_, _, _ = state_lattice_best_path(got["u1"])
+    assert w_ == decoded["words"]
