@@ -166,10 +166,22 @@ def bench_decode_rtf():
 
 def main():
     throughput, mfu = bench_train()
+    # the decode benchmark's cold compile can take ~10 min through a
+    # remote-compile tunnel; never let it sink the primary metric
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError
+
+    rtf = None
     try:
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(1500)
         rtf = bench_decode_rtf()
     except Exception:
         rtf = None
+    finally:
+        signal.alarm(0)
     out = {
         "metric": "audio-seconds/s/chip (BLSTM-CTC train)",
         "value": round(throughput, 2),

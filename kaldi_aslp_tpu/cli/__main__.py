@@ -58,6 +58,7 @@ TOOLS = {
     "lattice-scale": lat_tools.lattice_scale_cli,
     "lattice-copy": lat_tools.lattice_copy_cli,
     "lattice-determinize": lat_tools.lattice_determinize_cli,
+    "lattice-lmrescore": lat_tools.lattice_lmrescore_cli,
     "latgen-faster-mapped": lat_tools.latgen_faster_mapped_cli,
     "aslp-latgen-faster-rtf": lat_tools.latgen_faster_rtf_cli,
     # bin / aslp-bin

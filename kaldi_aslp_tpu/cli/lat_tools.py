@@ -216,3 +216,39 @@ def latgen_faster_mapped_cli(argv, report_rtf: bool = False):
 
 def latgen_faster_rtf_cli(argv):
     return latgen_faster_mapped_cli(argv, report_rtf=True)
+
+
+def lattice_lmrescore_cli(argv):
+    """(reference: latbin/lattice-lmrescore.cc — compose compact
+    lattices with a word-level G, scaling its costs by --lm-scale;
+    run once at -1 with the old G and once at +1 with the new one)."""
+    @dataclasses.dataclass
+    class Flags(Config):
+        lm_scale: float = 1.0
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags],
+        "lattice-lmrescore clats-rspecifier G.txt clats-wspecifier",
+        3, 3,
+    )
+    from kaldi_aslp_tpu.fst.fst import Fst
+    from kaldi_aslp_tpu.io import (compact_lattice_writer,
+                                   sequential_lattice_reader)
+    from kaldi_aslp_tpu.decoder import (CompactLattice,
+                                        compact_lattice_lmrescore,
+                                        determinize_lattice,
+                                        state_to_lattice)
+
+    with open(args[1]) as f:
+        G = Fst.from_text(f.read())
+    n = 0
+    with compact_lattice_writer(args[2]) as w:
+        for utt, lat in sequential_lattice_reader(args[0]):
+            if not isinstance(lat, CompactLattice):
+                lat = determinize_lattice(state_to_lattice(lat))
+            w[utt] = compact_lattice_lmrescore(
+                lat, G, lm_scale=flags.lm_scale)
+            n += 1
+    print(f"Rescored {n} lattices", file=sys.stderr)
+    return 0

@@ -15,6 +15,7 @@ from kaldi_aslp_tpu.decoder.compact import (
     CompactLattice,
     StateLattice,
     compact_lattice_best_path,
+    compact_lattice_lmrescore,
     determinize_lattice,
     lattice_to_state,
     scale_lattice,

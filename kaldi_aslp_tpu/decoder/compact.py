@@ -416,3 +416,95 @@ def state_lattice_best_path(slat: StateLattice,
     words = [a.olabel for a in path if a.olabel > 0]
     ali = [a.ilabel for a in path if a.ilabel > 0]
     return words, ali, cost
+
+
+def compact_lattice_lmrescore(clat: CompactLattice, G,
+                              lm_scale: float = 1.0) -> CompactLattice:
+    """Lattice-level LM rescoring: compose the word acceptor with a
+    (possibly backoff) G over words and fold ``lm_scale`` × the LM cost
+    into the graph costs (reference: latbin/lattice-lmrescore.cc —
+    typical workflow runs this twice, once with the old G at
+    lm_scale=-1 to remove its scores, then with the new G at +1).
+
+    ``G`` is an Fst whose arcs are word-labelled (ilabel == olabel ==
+    word id) with eps arcs as backoff.  States of the result are
+    (lattice state, G state) pairs; paths whose word sequence G rejects
+    are dropped."""
+    from collections import deque
+
+    INF = float("inf")
+
+    # eps closure per G state: reachable (state, cost) via backoff arcs
+    def g_eps_closure(g0: int):
+        best = {g0: 0.0}
+        q = deque([g0])
+        while q:
+            s = q.popleft()
+            for a in G.arcs[s]:
+                if a.ilabel == 0:
+                    c = best[s] + a.weight
+                    if c < best.get(a.nextstate, INF) - 1e-12:
+                        best[a.nextstate] = c
+                        q.append(a.nextstate)
+        return best
+
+    closure_cache: Dict[int, Dict[int, float]] = {}
+
+    def step_word(g0: int, word: int):
+        """All (g', lm_cost) after consuming ``word`` from g0."""
+        if g0 not in closure_cache:
+            closure_cache[g0] = g_eps_closure(g0)
+        out: Dict[int, float] = {}
+        for s, c0 in closure_cache[g0].items():
+            for a in G.arcs[s]:
+                if a.ilabel == word:
+                    c = c0 + a.weight
+                    if c < out.get(a.nextstate, INF) - 1e-12:
+                        out[a.nextstate] = c
+        return out
+
+    arcs_by_src: Dict[int, List[CompactLatticeArcT]] = {}
+    for a in clat.arcs:
+        arcs_by_src.setdefault(a.src, []).append(a)
+
+    ids: Dict[Tuple[int, int], int] = {}
+
+    def pid(u: int, g: int) -> int:
+        key = (u, g)
+        if key not in ids:
+            ids[key] = len(ids)
+        return ids[key]
+
+    start = pid(clat.start, G.start)
+    out_arcs: List[CompactLatticeArcT] = []
+    finals: Dict[int, Tuple[float, float, Tuple[int, ...]]] = {}
+    seen = set()
+    work = deque([(clat.start, G.start)])
+    seen.add((clat.start, G.start))
+    while work:
+        u, g = work.popleft()
+        src_id = pid(u, g)
+        if u in clat.finals:
+            fg, fa, ftids = clat.finals[u]
+            if g not in closure_cache:
+                closure_cache[g] = g_eps_closure(g)
+            best_final = INF
+            for s, c0 in closure_cache[g].items():
+                if s in G.finals:
+                    best_final = min(best_final, c0 + G.finals[s])
+            if np.isfinite(best_final):
+                finals[src_id] = (fg + lm_scale * best_final, fa, ftids)
+        for a in arcs_by_src.get(u, ()):
+            if a.word == 0:
+                targets = {g: 0.0}
+            else:
+                targets = step_word(g, a.word)
+            for g2, lm_cost in targets.items():
+                out_arcs.append(CompactLatticeArcT(
+                    src_id, pid(a.dst, g2), a.word,
+                    a.graph_cost + lm_scale * lm_cost,
+                    a.acoustic_cost, a.tids))
+                if (a.dst, g2) not in seen:
+                    seen.add((a.dst, g2))
+                    work.append((a.dst, g2))
+    return CompactLattice(len(ids), start, out_arcs, finals)

@@ -115,7 +115,10 @@ def ctc_alpha_beta(
         alpha = jnp.where(active, cand, alpha_prev)
         return alpha, alpha
 
-    _, alphas = jax.lax.scan(fwd_step, alpha0, (lp_t[1:], t_range[1:]))
+    # unroll: each step's work is tiny ([S, U'] elementwise), so scan
+    # loop overhead dominates on TPU; unrolling amortizes it
+    _, alphas = jax.lax.scan(fwd_step, alpha0, (lp_t[1:], t_range[1:]),
+                             unroll=8)
     alphas = jnp.concatenate([alpha0[None], alphas], axis=0)  # [T, S, U']
 
     # ---- backward ---------------------------------------------------------
@@ -141,7 +144,7 @@ def ctc_alpha_beta(
 
     beta_init = jnp.full((S, Up), NEG_INF) + vma_zero
     _, betas_rev = jax.lax.scan(
-        bwd_step, beta_init, (lp_t[::-1], t_range[::-1])
+        bwd_step, beta_init, (lp_t[::-1], t_range[::-1]), unroll=8
     )
     betas = betas_rev[::-1]  # [T, S, U']
 

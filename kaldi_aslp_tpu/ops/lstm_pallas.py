@@ -177,7 +177,16 @@ def lstmp_forward_pallas_from_params(params, x, mask=None, state=None,
 S_BLK = 128
 
 
-def _lstmp_fwd_train_kernel(cell_clip: float,
+def _mm_k(a, b, mxu_bf16: bool):
+    """Kernel matmul; optionally bf16 operands with f32 accumulation
+    (2x MXU throughput at ~1e-2 relative gradient noise)."""
+    if mxu_bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _lstmp_fwd_train_kernel(cell_clip: float, mxu_bf16: bool,
                             xg_ref, mask_ref, w_r_ref, w_rm_ref, peep_ref,
                             init_c_ref, init_r_ref,
                             gates_ref, cs_ref, rs_ref,
@@ -193,9 +202,7 @@ def _lstmp_fwd_train_kernel(cell_clip: float,
     C = c_scr.shape[1]
     c_prev = c_scr[:]
     r_prev = r_scr[:]
-    gates = xg_ref[0] + jnp.dot(
-        r_prev, w_r_ref[:], preferred_element_type=jnp.float32
-    )
+    gates = xg_ref[0] + _mm_k(r_prev, w_r_ref[:], mxu_bf16)
     gt = jnp.tanh(gates[:, :C])
     i = jax.nn.sigmoid(gates[:, C:2 * C] + peep_ref[0] * c_prev)
     f = jax.nn.sigmoid(gates[:, 2 * C:3 * C] + peep_ref[1] * c_prev)
@@ -204,7 +211,7 @@ def _lstmp_fwd_train_kernel(cell_clip: float,
         c = jnp.clip(c, -cell_clip, cell_clip)
     o = jax.nn.sigmoid(gates[:, 3 * C:] + peep_ref[2] * c)
     m = o * jnp.tanh(c)
-    r = jnp.dot(m, w_rm_ref[:], preferred_element_type=jnp.float32)
+    r = _mm_k(m, w_rm_ref[:], mxu_bf16)
     mask_t = mask_ref[0][:, 0:1]
     c_scr[:] = mask_t * c + (1.0 - mask_t) * c_prev
     r_scr[:] = mask_t * r + (1.0 - mask_t) * r_prev
@@ -214,7 +221,7 @@ def _lstmp_fwd_train_kernel(cell_clip: float,
     rs_ref[0] = r_scr[:]
 
 
-def _lstmp_bwd_kernel(cell_clip: float,
+def _lstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
                       dy_ref, mask_ref, gates_ref, cp_ref, rp_ref,
                       w_r_ref, w_rm_ref, peep_ref, dfc_ref, dfr_ref,
                       dxg_ref, dic_ref, dir_ref, dwr_ref, dwrm_ref,
@@ -266,10 +273,8 @@ def _lstmp_bwd_kernel(cell_clip: float,
     dc_prev_skip = (1.0 - mask_t) * dC_after
 
     # r = m @ w_rm  (w_rm_ref: [C, P])
-    dm = jnp.dot(dr_new, w_rm_ref[:].T,
-                 preferred_element_type=jnp.float32)
-    dwrm_scr[:] += jnp.dot(m.T, dr_new,
-                           preferred_element_type=jnp.float32)
+    dm = _mm_k(dr_new, w_rm_ref[:].T, mxu_bf16)
+    dwrm_scr[:] += _mm_k(m.T, dr_new, mxu_bf16)
     do = dm * tanh_c
     dc = dc_new + dm * o * (1.0 - tanh_c * tanh_c)
     do_lin = do * o * (1.0 - o)
@@ -292,10 +297,8 @@ def _lstmp_bwd_kernel(cell_clip: float,
     dgates = jnp.concatenate([dg_lin, di_lin, df_lin, do_lin], axis=1)
     dxg_ref[0] = dgates
     # gates = xg + r_prev @ w_r  (w_r_ref: [P, 4C])
-    dr_prev = dr_prev + jnp.dot(dgates, w_r_ref[:].T,
-                                preferred_element_type=jnp.float32)
-    dwr_scr[:] += jnp.dot(r_prev.T, dgates,
-                          preferred_element_type=jnp.float32)
+    dr_prev = dr_prev + _mm_k(dgates, w_r_ref[:].T, mxu_bf16)
+    dwr_scr[:] += _mm_k(r_prev.T, dgates, mxu_bf16)
     dc_scr[:] = dc_prev
     dr_scr[:] = dr_prev
 
@@ -333,9 +336,10 @@ def _stepped2_rev(shape, T):
 
 
 @partial(jax.jit, static_argnames=("cell_clip", "interpret",
-                                   "store_bf16"))
+                                   "store_bf16", "mxu_bf16"))
 def _lstmp_train_fwd(xg, mask, w_r_t, w_rm_t, peep, init_c, init_r,
-                     cell_clip, interpret, store_bf16=False):
+                     cell_clip, interpret, store_bf16=False,
+                     mxu_bf16=False):
     S, T, G = xg.shape
     C = G // 4
     P = w_r_t.shape[0]
@@ -346,7 +350,7 @@ def _lstmp_train_fwd(xg, mask, w_r_t, w_rm_t, peep, init_c, init_r,
     mask_t = jnp.broadcast_to(
         jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
     gates, cs, rs = pl.pallas_call(
-        partial(_lstmp_fwd_train_kernel, cell_clip),
+        partial(_lstmp_fwd_train_kernel, cell_clip, mxu_bf16),
         grid=(nS, T),
         in_specs=[
             _stepped2((blk, G)), _stepped2((blk, 128)),
@@ -373,10 +377,11 @@ def _lstmp_train_fwd(xg, mask, w_r_t, w_rm_t, peep, init_c, init_r,
     return gates, cs, rs
 
 
-@partial(jax.jit, static_argnames=("cell_clip", "interpret"))
+@partial(jax.jit, static_argnames=("cell_clip", "interpret",
+                                   "mxu_bf16"))
 def _lstmp_train_bwd(dys, mask, gates, c_prev_seq, r_prev_seq,
                      w_r_t, w_rm_t, peep, d_final_c, d_final_r,
-                     cell_clip, interpret):
+                     cell_clip, interpret, mxu_bf16=False):
     T, S, G = gates.shape
     C = G // 4
     P = w_r_t.shape[0]
@@ -387,7 +392,7 @@ def _lstmp_train_bwd(dys, mask, gates, c_prev_seq, r_prev_seq,
     mask_t = jnp.broadcast_to(
         jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
     dxg, dic, dir_, dwr, dwrm, dpeep = pl.pallas_call(
-        partial(_lstmp_bwd_kernel, cell_clip),
+        partial(_lstmp_bwd_kernel, cell_clip, mxu_bf16),
         grid=(nS, T),
         in_specs=[
             _stepped2_rev((blk, P), T), _stepped2_rev((blk, 128), T),
@@ -427,7 +432,8 @@ import functools
 
 @functools.lru_cache(maxsize=None)
 def _get_lstmp_core(cell_clip: float, interpret: bool,
-                    store_bf16: bool = False):
+                    store_bf16: bool = False,
+                    mxu_bf16: bool = False):
     """Build the custom-VJP LSTMP core for (cell_clip, interpret).
 
     Signature: core(xg, mask, w_gifo_r [4C,P], w_r_m [P,C], peep [3,C],
@@ -439,7 +445,7 @@ def _get_lstmp_core(cell_clip: float, interpret: bool,
         w_rm_t = jnp.swapaxes(w_r_m, 0, 1)     # [C, P]
         gates, cs, rs = _lstmp_train_fwd(
             xg, mask, w_r_t, w_rm_t, peep, init_c, init_r,
-            cell_clip, interpret, store_bf16)
+            cell_clip, interpret, store_bf16, mxu_bf16)
         ys = jnp.swapaxes(rs, 0, 1) * mask[:, :, None]
         return (ys, cs[-1], rs[-1]), (gates, cs, rs)
 
@@ -465,7 +471,8 @@ def _get_lstmp_core(cell_clip: float, interpret: bool,
         w_rm_t = jnp.swapaxes(w_r_m, 0, 1)
         dxg, dic, dir_, dwr, dwrm, dpeep = _lstmp_train_bwd(
             dys, mask, gates, c_prev_seq, r_prev_seq, w_r_t, w_rm_t,
-            peep, d_final_c, d_final_r, cell_clip, interpret)
+            peep, d_final_c, d_final_r, cell_clip, interpret,
+            mxu_bf16)
         d_w_gifo_r = jnp.swapaxes(dwr, 0, 1)   # [4C, P]
         d_w_r_m = jnp.swapaxes(dwrm, 0, 1)     # [P, C]
         return (dxg, None, d_w_gifo_r, d_w_r_m, dpeep, dic, dir_)
@@ -477,7 +484,8 @@ def _get_lstmp_core(cell_clip: float, interpret: bool,
 def lstmp_train_core(xg, mask, w_gifo_r, w_r_m, peepholes,
                      init_c, init_r, cell_clip: float = 50.0,
                      interpret: bool = False,
-                     store_bf16: bool = False):
+                     store_bf16: bool = False,
+                     mxu_bf16: bool = False):
     """Differentiable Pallas LSTMP core (see _get_lstmp_core).
 
     ``store_bf16`` stores the saved gate activations in bfloat16 —
@@ -494,7 +502,7 @@ def lstmp_train_core(xg, mask, w_gifo_r, w_r_m, peepholes,
         xg, mask = padS(xg), padS(mask)
         init_c, init_r = padS(init_c), padS(init_r)
     core = _get_lstmp_core(float(cell_clip), bool(interpret),
-                           bool(store_bf16))
+                           bool(store_bf16), bool(mxu_bf16))
     ys, fc, fr = core(xg, mask, w_gifo_r, w_r_m, peepholes,
                       init_c, init_r)
     if pad:

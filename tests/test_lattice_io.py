@@ -248,3 +248,40 @@ def test_latgen_faster_mapped_cli(decoded, tmp_path):
     got = dict(sequential_lattice_reader(f"ark:{tmp_path}/lat.ark"))
     w_, _, _ = state_lattice_best_path(got["u1"])
     assert w_ == decoded["words"]
+
+
+def test_compact_lattice_lmrescore(decoded):
+    """Swap the decode unigram for a biased LM at the lattice level:
+    the best path flips to the preferred sequence and costs match
+    lm_score_words (reference: latbin/lattice-lmrescore.cc workflow —
+    old G at -1, new G at +1)."""
+    from kaldi_aslp_tpu.decoder import (compact_lattice_lmrescore,
+                                        determinize_lattice)
+    from kaldi_aslp_tpu.decoder.nbest import lm_score_words
+    from kaldi_aslp_tpu.fst import make_unigram_grammar
+
+    lang = decoded["lang"]
+    clat = determinize_lattice(decoded["lat"])
+    old_G = make_unigram_grammar({"YES": 0.6, "NO": 0.4}, lang.words)
+    # strongly prefer YES: any path with NO gets expensive
+    new_G = make_unigram_grammar({"YES": 0.999, "NO": 0.001},
+                                 lang.words)
+    no_old = compact_lattice_lmrescore(clat, old_G, lm_scale=-1.0)
+    rescored = compact_lattice_lmrescore(no_old, new_G, lm_scale=1.0)
+    w_old, _, c_old = compact_lattice_best_path(clat)
+    w_new, _, c_new = compact_lattice_best_path(rescored)
+    yes = lang.words.id("YES")
+    no = lang.words.id("NO")
+    assert w_old == [no, yes]          # acoustics say NO YES
+    assert no not in w_new             # rescored LM forbids NO
+    # cost decomposition check: for the winning sequence, total =
+    # (acoustic+graph without any G) + new-G score
+    base = compact_lattice_lmrescore(clat, old_G, lm_scale=-1.0)
+    for seq, cost in _word_paths(
+            compact_lattice_lmrescore(base, new_G, 1.0)):
+        manual = None
+        for s2, c2 in _word_paths(base):
+            if s2 == seq:
+                manual = c2 + lm_score_words(new_G, list(seq))
+        assert manual is not None
+        assert cost == pytest.approx(manual, abs=1e-3), seq
