@@ -4,7 +4,8 @@ from kaldi_aslp_tpu.decoder.viterbi import (
     equal_align,
 )
 from kaldi_aslp_tpu.decoder.batched import BatchedViterbiDecoder
-from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
+from kaldi_aslp_tpu.decoder.beam import (BatchedBeamDecoder,
+    BeamSearchDecoder, CsrGraph)
 from kaldi_aslp_tpu.decoder.lattice import (
     Lattice,
     generate_lattice,

@@ -297,8 +297,8 @@ def run(root: str = "exp_rm_synth", num_words: int = 60,
     # ---- stage 2: deltas triphones (train_deltas.sh) ----
     alis = mono.align(am0, train_feats, train_texts)
     tri = DeltasTrainer(lang, mono.topo, DeltasTrainOptions(
-        num_iters=10, totgauss=1800, num_leaves=150,
-        realign_iters="2 4 6 8", tree_min_gain=20.0))
+        num_iters=10, totgauss=2400, num_leaves=100,
+        realign_iters="2 4 6 8", tree_min_gain=30.0))
     am1, tm1 = tri.train(train_feats, train_texts, tm0, alis)
     hclg1, tm1d = make_cd_decode_graph(lang, G, tri)
     lut1 = tm1d.alignment_to_pdfs(

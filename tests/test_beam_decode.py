@@ -173,3 +173,32 @@ def test_beam_decodes_million_arc_graph():
     words, ali, score = bdec.decode(ll)
     assert words == truth
     assert len(ali) == T and (ali > 0).all()
+
+
+def test_batched_beam_matches_single():
+    """Batched lockstep decode == per-utterance decode (words,
+    alignment, score) across different lengths."""
+    from kaldi_aslp_tpu.decoder.beam import BatchedBeamDecoder
+
+    lang, packed, lut = _small_setup()
+    y, n = lang.phones.id("Y"), lang.phones.id("N")
+    seqs = [
+        [0, y, y, 0],
+        [0, n, n, 0, y, 0],
+        [0, y, 0, n, 0, y, y, 0, 0],
+    ]
+    lls = [_scores(lang, s) for s in seqs]
+    single = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                               acoustic_scale=1.0, beam=1e9,
+                               max_active=64, arc_budget=1024, chunk=8)
+    expected = [single.decode(ll) for ll in lls]
+    batched = BatchedBeamDecoder(CsrGraph.from_packed(packed), lut,
+                                 acoustic_scale=1.0, beam=1e9,
+                                 max_active=64, arc_budget=1024,
+                                 chunk=8)
+    got = batched.decode_batch(lls)
+    assert len(got) == len(expected)
+    for (w1, a1, s1), (w2, a2, s2) in zip(got, expected):
+        assert w1 == w2
+        np.testing.assert_array_equal(a1, a2)
+        assert s1 == pytest.approx(s2, abs=1e-3)
