@@ -16,12 +16,22 @@ TOOLS = {
     # the architecture lives in the model file)
     "aslp-nnet-train-simple": train_tools.nnet_train_simple,
     "aslp-nnet-train-mse": train_tools.nnet_train_simple,
+    "aslp-nnet-train-frame": train_tools.nnet_train_simple,
     "aslp-nnet-train-ctc-streams": train_tools.nnet_train_ctc_streams,
     "aslp-nnet-train-lstm-streams": train_tools.nnet_train_lstm_streams,
     "aslp-nnet-train-blstm-streams": train_tools.nnet_train_lstm_streams,
+    "aslp-nnet-train-blstm-streams-lc": train_tools.nnet_train_lstm_streams,
+    "aslp-nnet-train-perutt": train_tools.nnet_train_lstm_streams,
     # aslp-vadbin / pitch
     "aslp-apply-energy-vad": vad_tools.apply_energy_vad,
     "aslp-apply-nnet-vad": vad_tools.apply_nnet_vad,
+    "aslp-apply-nn-vad": vad_tools.apply_nnet_vad,
+    "aslp-apply-nn-vad-frame": vad_tools.apply_nnet_vad,
+    "aslp-apply-nn-vad-segment": vad_tools.apply_nnet_vad_segment,
+    "aslp-eval-vad": vad_tools.eval_vad_cli,
+    "aslp-eval-energy-vad": vad_tools.eval_vad_cli,
+    "aslp-eval-nn-vad": vad_tools.eval_vad_cli,
+    "aslp-compute-spectrum-feats": vad_tools.compute_spectrum_feats,
     "aslp-ali-to-sil": vad_tools.ali_to_sil,
     "aslp-select-frames": vad_tools.select_frames_cli,
     "compute-kaldi-pitch-feats": vad_tools.compute_pitch_cli,
@@ -52,6 +62,9 @@ TOOLS = {
     # and the MIMO-capable library apply (reference: aslp-nnet-forward-
     # skip.cc / -mimo.cc are parameter variants of the same main)
     "aslp-nnet-forward-skip": nnet_tools.nnet_forward_cli,
+    "aslp-nnet-forward-mimo": nnet_tools.nnet_forward_cli,
+    "aslp-nnet-forward-blstm-lc": nnet_tools.nnet_forward_cli,
+    "aslp-nnet-insert": nnet_tools.nnet_insert,
     "aslp-nnet-convert-to-standard": nnet_tools.nnet_convert_to_standard,
     # latbin
     "lattice-best-path": lat_tools.lattice_best_path_cli,

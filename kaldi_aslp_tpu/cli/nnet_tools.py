@@ -191,3 +191,39 @@ def nnet_convert_to_standard(argv):
     chain.save(args[1], new_params)
     print(f"Converted {len(net.nodes)} components", file=sys.stderr)
     return 0
+
+
+def nnet_insert(argv):
+    """Insert another net's chain components into a net at a position
+    (reference: aslp-nnetbin/aslp-nnet-insert.cc — typically prepends
+    a feature-transform net)."""
+    @dataclasses.dataclass
+    class Flags(Config):
+        position: int = 0   # component index to insert before
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags],
+        "aslp-nnet-insert base.knet insert.knet out.knet", 3, 3,
+    )
+    base, bp, _ = Nnet.load(args[0])
+    ins, ip, _ = Nnet.load(args[1])
+    pos = int(flags.position)
+    if not (0 <= pos <= len(base.nodes)):
+        print(f"bad --position {pos}", file=sys.stderr)
+        return 1
+    out = Nnet()
+    params = {}
+    order = (
+        [("b", i) for i in range(pos)]
+        + [("i", i) for i in range(len(ins.nodes))]
+        + [("b", i) for i in range(pos, len(base.nodes))]
+    )
+    for which, i in order:
+        net, p = (base, bp) if which == "b" else (ins, ip)
+        cid = out.add(net.nodes[i].comp)
+        params[str(cid)] = p[str(i)]
+    out.save(args[2], params)
+    print(f"Inserted {len(ins.nodes)} components at {pos}",
+          file=sys.stderr)
+    return 0

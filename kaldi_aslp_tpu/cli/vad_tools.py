@@ -116,3 +116,98 @@ def compute_pitch_cli(argv):
             raw = compute_pitch(wav.data[0], popts)
             w[utt] = postprocess_pitch(raw) if flags.post_process else raw
     return 0
+
+
+def eval_vad_cli(argv):
+    """Score VAD decisions against reference sil/speech targets:
+    frame accuracy, false-alarm/miss rates, AUC and EER when scores
+    are available (reference: aslp-vadbin/aslp-eval-energy-vad.cc,
+    aslp-eval-nn-vad.cc, aslp_scripts/vad/calc_auc.sh / calc_eer.sh)."""
+    args = parse_options(
+        argv, [],
+        "aslp-eval-vad hyp-mask-rspec ref-mask-rspec [scores-rspec]",
+        2, 3,
+    )
+    from kaldi_aslp_tpu.io import sequential_int_vector_reader
+    from kaldi_aslp_tpu.vad.roc import auc, eer
+
+    refs = dict(sequential_int_vector_reader(args[1]))
+    tp = fp = fn = tn = 0
+    for utt, hyp in sequential_int_vector_reader(args[0]):
+        ref = refs.get(utt)
+        if ref is None:
+            continue
+        n = min(len(hyp), len(ref))
+        h = np.asarray(hyp[:n]) > 0
+        r = np.asarray(ref[:n]) > 0
+        tp += int((h & r).sum())
+        fp += int((h & ~r).sum())
+        fn += int((~h & r).sum())
+        tn += int((~h & ~r).sum())
+    total = max(tp + fp + fn + tn, 1)
+    print(f"frames {total} accuracy {(tp + tn) / total:.4f} "
+          f"false_alarm {fp / max(fp + tn, 1):.4f} "
+          f"miss {fn / max(fn + tp, 1):.4f}")
+    if len(args) > 2:
+        scores_all, labels_all = [], []
+        for utt, sc in sequential_matrix_reader(args[2]):
+            ref = refs.get(utt)
+            if ref is None:
+                continue
+            s = np.asarray(sc).reshape(-1)
+            n = min(len(s), len(ref))
+            scores_all.append(s[:n])
+            labels_all.append(np.asarray(ref[:n]))
+        if scores_all:
+            s = np.concatenate(scores_all)
+            y = np.concatenate(labels_all)
+            print(f"AUC {auc(s, y):.4f} EER {eer(s, y):.4f}")
+    return 0
+
+
+def apply_nnet_vad_segment(argv):
+    """NN VAD → speech segments 'utt start_frame end_frame' lines
+    (reference: aslp-vadbin/aslp-apply-nn-vad-segment.cc)."""
+    opts = VadOptions()
+    args = parse_options(
+        argv, [opts],
+        "aslp-apply-nn-vad-segment post-rspec segments-out.txt", 2, 2,
+    )
+    vad = NnetVad(opts)
+    with open(args[1], "w") as f:
+        for utt, post in sequential_matrix_reader(args[0]):
+            mask = vad.detect_from_posteriors(np.asarray(post))
+            in_seg = False
+            start = 0
+            for t, m in enumerate(list(mask) + [0]):
+                if m and not in_seg:
+                    in_seg, start = True, t
+                elif not m and in_seg:
+                    in_seg = False
+                    f.write(f"{utt} {start} {t}\n")
+    return 0
+
+
+def compute_spectrum_feats(argv):
+    """Log power spectrogram features (reference:
+    aslp-vadbin/aslp-compute-spectrum-feats.cc,
+    aslp-vad/feature-spectrum.*)."""
+    from kaldi_aslp_tpu.feats import FrameExtractionOptions
+    from kaldi_aslp_tpu.feats.plp import Spectrogram
+    from kaldi_aslp_tpu.io import matrix_writer
+
+    fo = FrameExtractionOptions()
+    args = parse_options(
+        argv, [fo],
+        "aslp-compute-spectrum-feats scp:wav.scp ark:feats.ark", 2, 2,
+    )
+    kind, path = args[0].split(":", 1)
+    spec = None
+    with matrix_writer(args[1]) as w:
+        for utt, wav_path in read_key_value(path).items():
+            wav = read_wave(wav_path)
+            if spec is None:
+                fo.samp_freq = wav.samp_freq
+                spec = Spectrogram(fo)
+            w[utt] = np.asarray(spec(wav.data[0]))
+    return 0

@@ -97,3 +97,66 @@ def test_dropout_active_in_training(rng):
     batches = [(np.asarray(x), np.asarray(t))]
     p1, v1, rep = trainer.train_epoch(params, velocity, batches, 0.1)
     assert np.isfinite(rep.avg_loss)
+
+
+def test_eval_vad_cli(tmp_path, capsys):
+    from kaldi_aslp_tpu.cli.vad_tools import eval_vad_cli
+    from kaldi_aslp_tpu.io import int_vector_writer, matrix_writer
+    import numpy as np
+
+    with int_vector_writer(f"ark:{tmp_path}/hyp.ark") as w:
+        w["u1"] = np.array([1, 1, 0, 0, 1])
+    with int_vector_writer(f"ark:{tmp_path}/ref.ark") as w:
+        w["u1"] = np.array([1, 1, 1, 0, 1])
+    with matrix_writer(f"ark:{tmp_path}/sc.ark") as w:
+        w["u1"] = np.array([[0.9], [0.8], [0.6], [0.1], [0.7]],
+                           np.float32)
+    rc = eval_vad_cli([f"ark:{tmp_path}/hyp.ark",
+                       f"ark:{tmp_path}/ref.ark",
+                       f"ark:{tmp_path}/sc.ark"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "accuracy 0.8000" in out
+    assert "AUC" in out and "EER" in out
+
+
+def test_apply_nn_vad_segment_cli(tmp_path):
+    from kaldi_aslp_tpu.cli.vad_tools import apply_nnet_vad_segment
+    from kaldi_aslp_tpu.io import matrix_writer
+    import numpy as np
+
+    # sil posterior in column 0: frames 2-4 are speech
+    post = np.array([[0.9, 0.1]] * 2 + [[0.1, 0.9]] * 3 +
+                    [[0.9, 0.1]] * 2, np.float32)
+    with matrix_writer(f"ark:{tmp_path}/post.ark") as w:
+        w["u1"] = post
+    rc = apply_nnet_vad_segment(
+        ["--speech-trigger-ms=10", "--silence-trigger-ms=10",
+         "--lookback-ms=0",
+         f"ark:{tmp_path}/post.ark", f"{tmp_path}/segments.txt"])
+    assert rc == 0
+    lines = (tmp_path / "segments.txt").read_text().split()
+    assert lines[0] == "u1"
+
+
+def test_nnet_insert_cli(tmp_path):
+    from kaldi_aslp_tpu.cli.nnet_tools import nnet_init, nnet_insert
+    from kaldi_aslp_tpu.models import Nnet
+
+    proto_a = tmp_path / "a.proto"
+    proto_a.write_text("<NnetProto>\n"
+                       "<AffineTransform> <InputDim> 4 <OutputDim> 6\n"
+                       "<Softmax> <InputDim> 6 <OutputDim> 6\n"
+                       "</NnetProto>\n")
+    proto_b = tmp_path / "b.proto"
+    proto_b.write_text("<NnetProto>\n"
+                       "<Splice> <InputDim> 4 <OutputDim> 4\n"
+                       "</NnetProto>\n")
+    assert nnet_init([str(proto_a), f"{tmp_path}/a.knet"]) == 0
+    assert nnet_init([str(proto_b), f"{tmp_path}/b.knet"]) == 0
+    assert nnet_insert(["--position=0", f"{tmp_path}/a.knet",
+                        f"{tmp_path}/b.knet",
+                        f"{tmp_path}/out.knet"]) == 0
+    net, params, _ = Nnet.load(f"{tmp_path}/out.knet")
+    assert net.num_components() == 3
+    assert net.nodes[0].comp.token == "<Splice>"
