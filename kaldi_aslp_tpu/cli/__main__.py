@@ -76,6 +76,12 @@ TOOLS = {
     "aslp-latgen-faster-rtf": lat_tools.latgen_faster_rtf_cli,
     # bin / aslp-bin
     "ali-to-pdf": nnet_tools.ali_to_pdf,
+    "aslp-ali-to-matrix": nnet_tools.ali_to_matrix,
+    "aslp-matrix-to-txt": nnet_tools.matrix_to_txt,
+    "aslp-txt-to-matrix": nnet_tools.txt_to_matrix,
+    "aslp-copy-vector-from-matrix": nnet_tools.copy_vector_from_matrix,
+    "aslp-extract-transition-to-pdf": nnet_tools.extract_transition_to_pdf,
+    "aslp-wav-noise": nnet_tools.wav_noise,
     "aslp-ali-minus-one": nnet_tools.ali_minus_one,
     "analyze-counts": nnet_tools.analyze_counts,
     "compute-wer": nnet_tools.compute_wer,

@@ -227,3 +227,142 @@ def nnet_insert(argv):
     print(f"Inserted {len(ins.nodes)} components at {pos}",
           file=sys.stderr)
     return 0
+
+
+def ali_to_matrix(argv):
+    """Alignment → one-hot matrix (reference:
+    aslp-bin/aslp-ali-to-matrix.cc)."""
+    @dataclasses.dataclass
+    class Flags(Config):
+        dict_size: int = 0
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags],
+        "aslp-ali-to-matrix --dict-size=N ali-rspec mat-wspec", 2, 2,
+    )
+    if flags.dict_size <= 0:
+        print("--dict-size required", file=sys.stderr)
+        return 1
+    from kaldi_aslp_tpu.io import (matrix_writer,
+                                   sequential_int_vector_reader)
+    n = 0
+    with matrix_writer(args[1]) as w:
+        for utt, ali in sequential_int_vector_reader(args[0]):
+            ali = np.asarray(ali)
+            if ali.size and (ali.min() < 0
+                             or ali.max() >= flags.dict_size):
+                print(f"{utt}: label outside [0, {flags.dict_size})",
+                      file=sys.stderr)
+                return 1
+            m = np.zeros((len(ali), flags.dict_size), np.float32)
+            m[np.arange(len(ali)), ali] = 1.0
+            w[utt] = m
+            n += 1
+    print(f"Converted {n} alignments", file=sys.stderr)
+    return 0
+
+
+def matrix_to_txt(argv):
+    """Matrix ark → plain text rows (reference:
+    aslp-bin/aslp-matrix-to-txt.cc)."""
+    args = parse_options(
+        argv, [], "aslp-matrix-to-txt mat-rspec out.txt", 2, 2,
+    )
+    from kaldi_aslp_tpu.io import sequential_matrix_reader
+    with open(args[1], "w") as f:
+        for utt, mat in sequential_matrix_reader(args[0]):
+            f.write(utt + "\n")
+            for row in np.asarray(mat):
+                f.write(" ".join(f"{v:g}" for v in row) + "\n")
+    return 0
+
+
+def txt_to_matrix(argv):
+    """Plain text rows → matrix ark (reference:
+    aslp-bin/aslp-txt-to-matrix.cc; blank-line separated blocks whose
+    first line is the key)."""
+    args = parse_options(
+        argv, [], "aslp-txt-to-matrix in.txt mat-wspec", 2, 2,
+    )
+    from kaldi_aslp_tpu.io import matrix_writer
+    with open(args[0]) as f, matrix_writer(args[1]) as w:
+        key, rows = None, []
+        for line in list(f) + [""]:
+            line = line.strip()
+            if not line:
+                if key is not None and rows:
+                    w[key] = np.asarray(rows, np.float32)
+                key, rows = None, []
+            elif key is None:
+                key = line
+            else:
+                rows.append([float(x) for x in line.split()])
+    return 0
+
+
+def copy_vector_from_matrix(argv):
+    """Extract one column of each matrix as a vector ark (reference:
+    aslp-bin/aslp-copy-vector-from-matrix.cc)."""
+    @dataclasses.dataclass
+    class Flags(Config):
+        column: int = 0
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags],
+        "aslp-copy-vector-from-matrix mat-rspec vec-wspec", 2, 2,
+    )
+    from kaldi_aslp_tpu.io import sequential_matrix_reader, vector_writer
+    with vector_writer(args[1]) as w:
+        for utt, mat in sequential_matrix_reader(args[0]):
+            w[utt] = np.asarray(mat)[:, flags.column]
+    return 0
+
+
+def extract_transition_to_pdf(argv):
+    """Dump the tid→pdf map of a transition model pickle as text
+    (reference: aslp-bin/aslp-extract-transition-to-pdf.cc)."""
+    args = parse_options(
+        argv, [],
+        "aslp-extract-transition-to-pdf mdl.pkl tid2pdf.txt", 2, 2,
+    )
+    import pickle
+    with open(args[0], "rb") as f:
+        tm = pickle.load(f)
+    lut = tm.alignment_to_pdfs(np.arange(tm.num_transition_ids + 1))
+    np.savetxt(args[1], np.asarray(lut).reshape(-1, 1), fmt="%d")
+    return 0
+
+
+def wav_noise(argv):
+    """Additive noise augmentation of wav files (reference:
+    aslp-bin/aslp-wav-noise.cc)."""
+    @dataclasses.dataclass
+    class Flags(Config):
+        snr_db: float = 20.0
+        seed: int = 777
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags], "aslp-wav-noise scp:wav.scp out_dir", 2, 2,
+    )
+    import os
+    from kaldi_aslp_tpu.feats.resample import add_noise
+    from kaldi_aslp_tpu.io import WaveData, read_wave, write_wave
+
+    _, path = args[0].split(":", 1)
+    os.makedirs(args[1], exist_ok=True)
+    rng = np.random.RandomState(flags.seed)
+    for line in open(path):
+        toks = line.split()
+        if len(toks) < 2:
+            continue
+        utt, wav_path = toks[0], toks[1]
+        wav = read_wave(wav_path)
+        noise = rng.randn(len(wav.data[0])).astype(np.float32)
+        noisy = add_noise(wav.data[0], noise, snr_db=flags.snr_db)
+        write_wave(os.path.join(args[1], f"{utt}.wav"),
+                   WaveData(wav.samp_freq,
+                            noisy[None, :].astype(np.float32)))
+    return 0

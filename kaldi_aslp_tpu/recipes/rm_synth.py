@@ -209,13 +209,14 @@ def extract_mfcc_deltas(waves: Dict[str, np.ndarray]
 def _decode_wer(packed, lut, test_ll, refs, lang, acoustic_scale,
                 lmwt_range) -> Tuple[float, Dict]:
     """Beam-lattice decode + LMWT sweep (decode.sh + score_basic.sh)."""
-    # beam 100: the synthetic phones are far more acoustically
+    # beam 200: the synthetic phones are far more acoustically
     # discriminable than real speech, so the optimal path's transient
-    # deficit vs the frame leader (~80 here, measured) is an order
-    # larger than on real corpora where 13-16 suffices
+    # deficit vs the frame leader (~80 for mono, more for the sharper
+    # triphone Gaussians, measured) is an order larger than on real
+    # corpora where 13-16 suffices
     dec = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
-                            acoustic_scale=acoustic_scale, beam=100.0,
-                            max_active=2048, chunk=128)
+                            acoustic_scale=acoustic_scale, beam=200.0,
+                            max_active=4096, chunk=128)
     lats = {}
     t_dec, t_audio = 0.0, 0.0
     failed = []
@@ -297,8 +298,8 @@ def run(root: str = "exp_rm_synth", num_words: int = 60,
     # ---- stage 2: deltas triphones (train_deltas.sh) ----
     alis = mono.align(am0, train_feats, train_texts)
     tri = DeltasTrainer(lang, mono.topo, DeltasTrainOptions(
-        num_iters=10, totgauss=2400, num_leaves=100,
-        realign_iters="2 4 6 8", tree_min_gain=30.0))
+        num_iters=10, totgauss=1800, num_leaves=150,
+        realign_iters="2 4 6 8", tree_min_gain=20.0))
     am1, tm1 = tri.train(train_feats, train_texts, tm0, alis)
     hclg1, tm1d = make_cd_decode_graph(lang, G, tri)
     lut1 = tm1d.alignment_to_pdfs(

@@ -140,3 +140,36 @@ def test_compute_wer(tmp_path, capsys):
 def test_unknown_tool(capsys):
     assert main(["bogus-tool"]) == 1
     assert main([]) == 1
+
+
+def test_misc_dump_tools(tmp_path):
+    """aslp-ali-to-matrix / matrix-to-txt / txt-to-matrix /
+    copy-vector-from-matrix round trips (reference: src/aslp-bin)."""
+    import numpy as np
+    from kaldi_aslp_tpu.cli.nnet_tools import (
+        ali_to_matrix, copy_vector_from_matrix, matrix_to_txt,
+        txt_to_matrix)
+    from kaldi_aslp_tpu.io import (int_vector_writer,
+                                   sequential_matrix_reader,
+                                   sequential_vector_reader)
+
+    with int_vector_writer(f"ark:{tmp_path}/ali.ark") as w:
+        w["u"] = np.array([0, 2, 1])
+    assert ali_to_matrix(["--dict-size=3", f"ark:{tmp_path}/ali.ark",
+                          f"ark:{tmp_path}/oh.ark"]) == 0
+    oh = dict(sequential_matrix_reader(f"ark:{tmp_path}/oh.ark"))["u"]
+    np.testing.assert_array_equal(
+        oh, [[1, 0, 0], [0, 0, 1], [0, 1, 0]])
+
+    assert matrix_to_txt([f"ark:{tmp_path}/oh.ark",
+                          f"{tmp_path}/m.txt"]) == 0
+    assert txt_to_matrix([f"{tmp_path}/m.txt",
+                          f"ark:{tmp_path}/rt.ark"]) == 0
+    rt = dict(sequential_matrix_reader(f"ark:{tmp_path}/rt.ark"))["u"]
+    np.testing.assert_array_equal(rt, oh)
+
+    assert copy_vector_from_matrix(
+        ["--column=1", f"ark:{tmp_path}/oh.ark",
+         f"ark:{tmp_path}/v.ark"]) == 0
+    v = dict(sequential_vector_reader(f"ark:{tmp_path}/v.ark"))["u"]
+    np.testing.assert_array_equal(v, [0, 0, 1])
