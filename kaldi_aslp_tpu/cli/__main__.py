@@ -9,7 +9,7 @@ from __future__ import annotations
 import sys
 
 from kaldi_aslp_tpu.cli import feat_tools, fst_tools, lat_tools, \
-    nnet_tools, train_tools, vad_tools
+    nnet_tools, script_tools, train_tools, vad_tools
 
 TOOLS = {
     # aslp-nnetbin trainers (blstm/perutt variants are the same loop —
@@ -85,6 +85,16 @@ TOOLS = {
     "aslp-ali-minus-one": nnet_tools.ali_minus_one,
     "analyze-counts": nnet_tools.analyze_counts,
     "compute-wer": nnet_tools.compute_wer,
+    # aslp_scripts program-role helpers
+    "aslp-log-analyse": script_tools.log_analyse,
+    "aslp-log-analyse-ctc": script_tools.log_analyse,
+    "aslp-mpi-log-analyse": script_tools.mpi_log_analyse,
+    "aslp-convert-lexicon-to-syllable":
+        script_tools.convert_lexicon_to_syllable,
+    "aslp-bind-syllable": script_tools.bind_syllable_cli,
+    "aslp-bind-lexicon": script_tools.bind_lexicon_cli,
+    "aslp-ali-to-syllable": script_tools.ali_to_syllable_cli,
+    "aslp-gen-textgrid": script_tools.gen_textgrid,
 }
 
 

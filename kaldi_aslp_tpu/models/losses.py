@@ -153,21 +153,44 @@ class LossReporter:
     """Host-side progress accumulator printing reference-compatible lines
     (reference: nnet-loss.cc:179-196 Xent::Report)."""
 
-    def __init__(self, name: str = "xent"):
+    # 1h of 10ms frames between ProgressLoss lines, like the reference
+    PROGRESS_STEP = 3600 * 100
+
+    def __init__(self, name: str = "xent",
+                 progress_step: int = PROGRESS_STEP):
         self.name = name
         self.loss_sum = 0.0
         self.frames = 0.0
         self.correct = 0.0
         self._progress: List[float] = []
+        self._progress_step = progress_step
+        self._frames_progress = 0.0
+        self._loss_progress = 0.0
 
     def update(self, aux: Dict[str, jnp.ndarray]) -> None:
         f = float(aux["frames"])
-        self.loss_sum += float(aux.get("loss_sum", 0.0))
+        loss = float(aux.get("loss_sum", 0.0))
+        self.loss_sum += loss
         self.frames += f
         if "accuracy" in aux:
             self.correct += float(aux["accuracy"]) * f
         if self.frames > 0:
             self._progress.append(self.loss_sum / self.frames)
+        # progressive loss line every progress_step frames, last-field
+        # parsable by aslp-log-analyse (reference: nnet-loss.cc:135-153
+        # "ProgressLoss[last Nh of Mh]: ...")
+        self._frames_progress += f
+        self._loss_progress += loss
+        if self._frames_progress > self._progress_step:
+            from kaldi_aslp_tpu.utils.log import get_logger
+            get_logger("nnet-loss").info(
+                "ProgressLoss[last %dh of %dh]: (%s) %.6f",
+                int(self._frames_progress / self._progress_step),
+                int(self.frames / self._progress_step),
+                self.name,
+                self._loss_progress / self._frames_progress)
+            self._frames_progress = 0.0
+            self._loss_progress = 0.0
 
     @property
     def avg_loss(self) -> float:
