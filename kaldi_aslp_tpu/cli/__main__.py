@@ -28,6 +28,8 @@ TOOLS = {
     "aslp-apply-nn-vad": vad_tools.apply_nnet_vad,
     "aslp-apply-nn-vad-frame": vad_tools.apply_nnet_vad,
     "aslp-apply-nn-vad-segment": vad_tools.apply_nnet_vad_segment,
+    "aslp-apply-gmm-vad": vad_tools.apply_gmm_vad,
+    "gmm-global-init-from-feats": vad_tools.gmm_global_init_from_feats,
     "aslp-eval-vad": vad_tools.eval_vad_cli,
     "aslp-eval-energy-vad": vad_tools.eval_vad_cli,
     "aslp-eval-nn-vad": vad_tools.eval_vad_cli,
@@ -43,6 +45,9 @@ TOOLS = {
     "aslp-kws-gen-state-map": fst_tools.kws_gen_state_map,
     "aslp-kws-convert-phone-ali": fst_tools.kws_convert_phone_ali,
     "aslp-kws-evaluation-roc": fst_tools.kws_evaluation_roc,
+    "aslp-kws-gen-text-fst": script_tools.kws_gen_text_fst,
+    "aslp-kws-generate-simulation-ali":
+        script_tools.kws_generate_simulation_ali,
     # featbin
     "compute-mfcc-feats": feat_tools.compute_mfcc_feats,
     "compute-fbank-feats": feat_tools.compute_fbank_feats,

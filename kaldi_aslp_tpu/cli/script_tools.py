@@ -185,3 +185,43 @@ def gen_textgrid(argv):
     with open(a.out_textgrid, "w") as f:
         f.write(intervals_to_textgrid(intervals, tier_name=name))
     return 0
+
+
+def kws_gen_text_fst(argv):
+    """Keyword phone list -> keyword-filler text FST
+    (aslp_scripts/kws/gen_text_fst.py)."""
+    from kaldi_aslp_tpu.kws.text_fst import build_keyword_filler_text_fst
+
+    p = argparse.ArgumentParser(prog="aslp-kws-gen-text-fst")
+    p.add_argument("keyword_phone_file",
+                   help="lines: KEYWORD ph1 ph2 ...")
+    p.add_argument("text_fst_file")
+    a = p.parse_args(argv)
+    keywords = {}
+    for ln in _read_lines(a.keyword_phone_file):
+        parts = ln.split()
+        if len(parts) >= 2:
+            keywords[parts[0]] = parts[1:]
+    with open(a.text_fst_file, "w") as f:
+        f.write(build_keyword_filler_text_fst(keywords))
+    return 0
+
+
+def kws_generate_simulation_ali(argv):
+    """Clean ali (stdin) + simulated wav.scp -> simulated ali (stdout)
+    (aslp_scripts/kws/generate_simulation_ali.py)."""
+    from kaldi_aslp_tpu.kws.text_fst import simulation_ali
+
+    p = argparse.ArgumentParser(prog="aslp-kws-generate-simulation-ali")
+    p.add_argument("wav_scp")
+    a = p.parse_args(argv)
+    clean = {}
+    for line in sys.stdin:
+        parts = line.split()
+        if parts:
+            clean[parts[0]] = parts[1:]
+    sim_keys = [ln.split()[0] for ln in _read_lines(a.wav_scp)
+                if ln.split()]
+    for key, ali in simulation_ali(clean, sim_keys).items():
+        print(key, " ".join(str(x) for x in ali))
+    return 0

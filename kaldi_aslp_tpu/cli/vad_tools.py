@@ -211,3 +211,61 @@ def compute_spectrum_feats(argv):
                 spec = Spectrogram(fo)
             w[utt] = np.asarray(spec(wav.data[0]))
     return 0
+
+
+@dataclasses.dataclass
+class GlobalGmmOptions(Config):
+    num_gauss: int = 32
+    num_gauss_init: int = 0
+    num_iters: int = 20
+    num_frames: int = 200000
+    min_gaussian_weight: float = 1e-4
+    seed: int = 0
+
+
+def gmm_global_init_from_feats(argv):
+    """Train a global diag GMM from features (reference:
+    src/gmmbin/gmm-global-init-from-feats.cc, driven by
+    aslp_scripts/vad/train_diag_gmm.sh).  Model saved as .npz."""
+    from kaldi_aslp_tpu.gmm.global_gmm import init_from_feats
+
+    opts = GlobalGmmOptions()
+    args = parse_options(
+        argv, [opts],
+        "gmm-global-init-from-feats feats-rspec model-out.npz", 2, 2,
+    )
+    frames = [f for _, f in sequential_matrix_reader(args[0])]
+    feats = np.concatenate(frames, axis=0)
+    gmm = init_from_feats(
+        feats, opts.num_gauss, num_iters=opts.num_iters,
+        num_gauss_init=opts.num_gauss_init, num_frames=opts.num_frames,
+        min_gaussian_weight=opts.min_gaussian_weight, seed=opts.seed,
+    )
+    gmm.save(args[1])
+    return 0
+
+
+@dataclasses.dataclass
+class GmmVadCliOptions(Config):
+    llr_threshold: float = 0.0
+
+
+def apply_gmm_vad(argv):
+    """Classify frames by speech/sil GMM log-likelihood ratio + FSM
+    smoothing (reference: aslp_scripts/vad/run_gmm_vad.sh role)."""
+    from kaldi_aslp_tpu.gmm.global_gmm import GlobalGmm
+    from kaldi_aslp_tpu.vad.gmm_vad import GmmVad
+
+    vopts = VadOptions()
+    gopts = GmmVadCliOptions()
+    args = parse_options(
+        argv, [vopts, gopts],
+        "aslp-apply-gmm-vad sil.npz speech.npz feats-rspec mask-wspec",
+        4, 4,
+    )
+    vad = GmmVad(GlobalGmm.load(args[0]), GlobalGmm.load(args[1]),
+                 vopts, llr_threshold=gopts.llr_threshold)
+    with int_vector_writer(args[3]) as w:
+        for utt, feats in sequential_matrix_reader(args[2]):
+            w[utt] = vad.detect(feats).astype(np.int32)
+    return 0
