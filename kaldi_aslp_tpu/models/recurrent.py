@@ -138,12 +138,20 @@ class LstmProjectedStreams(Component):
                     params["peephole_i_c"], params["peephole_f_c"],
                     params["peephole_o_c"],
                 ])
+                # mxu_bf16 mirrors the scan path's semantics: a bf16
+                # component does its recurrent matmuls in bf16 with
+                # f32 accumulation (2x MXU throughput); set
+                # KALDI_ASLP_LSTM_MXU_FP32=1 to force fp32 dots
+                import os
+                mxu_bf16 = (dt is not None and not
+                            os.environ.get("KALDI_ASLP_LSTM_MXU_FP32"))
                 ys, fc, fr = lstmp_train_core(
                     xg, mask, params["w_gifo_r"], params["w_r_m"],
                     peep, state["c"], state["r"],
                     cell_clip=self.cell_clip,
                     interpret=jax.default_backend() == "cpu",
                     store_bf16=dt is not None,
+                    mxu_bf16=mxu_bf16,
                 )
                 return ys, {"c": fc, "r": fr}
             from kaldi_aslp_tpu.ops.lstm_pallas import (

@@ -236,13 +236,17 @@ def _ctc_bwd(blank, residuals, g):
     occ = occ - logp[None, :, None]
     occ = jnp.where(valid_u[None] > 0, occ, NEG_INF)
     gamma_u = jnp.exp(jnp.swapaxes(occ, 0, 1))  # [S, T, U']
-    # scatter-add into vocab: gamma[s,t,v] = Σ_{u: l'_u=v} γ[s,t,u]
-    gamma_v = jnp.zeros((S, T, V), log_probs.dtype)
-    gamma_v = gamma_v.at[
-        jnp.arange(S)[:, None, None],
-        jnp.arange(T)[None, :, None],
-        exp_labels[:, None, :],
-    ].add(gamma_u)
+    # fold label occupancies into vocab: gamma[s,t,v] = Σ_{u: l'_u=v} γ[s,t,u].
+    # Expressed as a one-hot matmul rather than a scatter-add: TPU scatters
+    # serialize (measured 29.6 ms for this [S,T,U']→[S,T,V] scatter at
+    # S=128,T=400 — more than the whole rest of the train step), while the
+    # equivalent batched matmul rides the MXU in ~1.6 ms.  Invalid/padded u
+    # rows carry γ=0 so they contribute nothing regardless of their one-hot.
+    one_hot = jax.nn.one_hot(exp_labels, V, dtype=log_probs.dtype)  # [S,U',V]
+    gamma_v = jnp.einsum(
+        "stu,suv->stv", gamma_u, one_hot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     y = jnp.exp(log_probs)
     grad = y - gamma_v  # d(-logp)/d logits
     t_mask = (jnp.arange(T)[None, :] < input_lengths[:, None])
