@@ -194,38 +194,43 @@ def nnet_convert_to_standard(argv):
 
 
 def nnet_insert(argv):
-    """Insert another net's chain components into a net at a position
-    (reference: aslp-nnetbin/aslp-nnet-insert.cc — typically prepends
-    a feature-transform net)."""
+    """Insert another net's chain components into a net
+    (reference: aslp-nnetbin/aslp-nnet-insert.cc:14-49 InsertComponents;
+    default position = before the last updatable component, with the
+    next affine re-randomized — the pretrain.sh growth step).
+
+    --position < 0 (default) mirrors the reference's --insert-at < 0."""
     @dataclasses.dataclass
     class Flags(Config):
-        position: int = 0   # component index to insert before
+        position: int = -1  # component index to insert before; <0 = last updatable
+        randomize_next_component: bool = True
+        stddev_factor: float = 0.1
+        srand_seed: int = 0
 
     flags = Flags()
     args = parse_options(
         argv, [flags],
         "aslp-nnet-insert base.knet insert.knet out.knet", 3, 3,
     )
+    from kaldi_aslp_tpu.train.pretrain import insert_components
+
     base, bp, _ = Nnet.load(args[0])
     ins, ip, _ = Nnet.load(args[1])
-    pos = int(flags.position)
-    if not (0 <= pos <= len(base.nodes)):
-        print(f"bad --position {pos}", file=sys.stderr)
+    import jax
+
+    try:
+        out, params = insert_components(
+            base, bp, ins, ip,
+            insert_at=int(flags.position),
+            randomize_next=bool(flags.randomize_next_component),
+            stddev_factor=float(flags.stddev_factor),
+            key=jax.random.PRNGKey(int(flags.srand_seed)),
+        )
+    except ValueError as e:
+        print(f"aslp-nnet-insert: {e}", file=sys.stderr)
         return 1
-    out = Nnet()
-    params = {}
-    order = (
-        [("b", i) for i in range(pos)]
-        + [("i", i) for i in range(len(ins.nodes))]
-        + [("b", i) for i in range(pos, len(base.nodes))]
-    )
-    for which, i in order:
-        net, p = (base, bp) if which == "b" else (ins, ip)
-        cid = out.add(net.nodes[i].comp)
-        params[str(cid)] = p[str(i)]
     out.save(args[2], params)
-    print(f"Inserted {len(ins.nodes)} components at {pos}",
-          file=sys.stderr)
+    print(f"Inserted {len(ins.nodes)} components", file=sys.stderr)
     return 0
 
 

@@ -65,6 +65,11 @@ class HybridRecipeOptions(Config):
     # empty = 1-best at acoustic_scale only
     lmwt_sweep: str = ""         # e.g. "1 2 4 7 10"
     lattice_beam: float = 8.0
+    # layer-wise discriminative pretraining (pretrain.sh): epochs to
+    # train at each depth before growing; 0 = off (random full-depth
+    # init).  DNN only, mirrors run_cfsmn_pre.sh-style two-phase runs.
+    pretrain_iters: int = 0
+    pretrain_learn_rate: float = 0.008
 
 
 class HybridRecipe:
@@ -106,16 +111,6 @@ class HybridRecipe:
         dim = self._nn_feats(
             next(iter(train_feats.values()))[:1]
         ).shape[1]
-        net = self._build_net(dim, tm.num_pdfs)
-        params = net.init(jax.random.PRNGKey(777))
-        velocity = init_velocity(params)
-        trainer = FrameTrainer(
-            net, NnetTrainOptions(momentum=opts.momentum)
-        )
-        sched = NewbobScheduler(
-            work_dir, initial_lr=opts.learn_rate,
-            opts=NewbobOptions(max_iters=opts.max_iters),
-        )
         utts = sorted(u for u in train_feats if u in pdf_targets)
         cv_utts = utts[: max(1, len(utts) // 10)]
         tr_utts = utts[len(cv_utts):]
@@ -132,6 +127,22 @@ class HybridRecipe:
                 if r.full():
                     yield from r.iterate_minibatches()
             yield from r.flush()
+
+        if (opts.pretrain_iters > 0 and opts.model_type == "dnn"
+                and opts.num_layers > 1):
+            net, params = self._pretrain(dim, tm.num_pdfs,
+                                         batches, tr_utts)
+        else:
+            net = self._build_net(dim, tm.num_pdfs)
+            params = net.init(jax.random.PRNGKey(777))
+        velocity = init_velocity(params)
+        trainer = FrameTrainer(
+            net, NnetTrainOptions(momentum=opts.momentum)
+        )
+        sched = NewbobScheduler(
+            work_dir, initial_lr=opts.learn_rate,
+            opts=NewbobOptions(max_iters=opts.max_iters),
+        )
 
         from kaldi_aslp_tpu.train.checkpoint import (
             load_checkpoint,
@@ -214,6 +225,55 @@ class HybridRecipe:
         stats = score_utterances(test_texts, hyps)
         logger.info("%s", stats.report())
         return stats
+
+    def _pretrain(self, input_dim: int, num_pdfs: int,
+                  batches, tr_utts) -> Tuple[Nnet, Dict]:
+        """Layer-wise discriminative pretraining (reference:
+        aslp_scripts/aslp_nnet/pretrain.sh — momentum 0, fixed lr,
+        grow one [Affine, Sigmoid] block before the output layer per
+        epoch with the output affine re-randomized)."""
+        from kaldi_aslp_tpu.models import AffineTransform, Sigmoid
+        from kaldi_aslp_tpu.train.pretrain import pretrain_layerwise
+
+        opts = self.opts
+
+        def hidden_block(in_dim: int) -> List:
+            return [
+                AffineTransform(in_dim, opts.hidden_dim,
+                                param_stddev=0.1,
+                                bias_mean=0.0, bias_range=0.0),
+                Sigmoid(opts.hidden_dim, opts.hidden_dim),
+            ]
+
+        initial = Nnet()
+        for comp in hidden_block(input_dim):
+            initial.add(comp)
+        initial.add(AffineTransform(opts.hidden_dim, num_pdfs,
+                                    param_stddev=0.04,
+                                    bias_mean=0.0, bias_range=0.0))
+
+        def hidden_factory(depth: int) -> Nnet:
+            h = Nnet()
+            for comp in hidden_block(opts.hidden_dim):
+                h.add(comp)
+            return h
+
+        def train_fn(net, params, depth):
+            trainer = FrameTrainer(net, NnetTrainOptions(momentum=0.0))
+            velocity = init_velocity(params)
+            for it in range(opts.pretrain_iters):
+                params, velocity, rep = trainer.train_epoch(
+                    params, velocity,
+                    batches(tr_utts, 1000 * depth + it),
+                    opts.pretrain_learn_rate,
+                )
+                logger.info("pretrain depth %d iter %d tr %.4f",
+                            depth, it, rep.avg_loss)
+            return params
+
+        return pretrain_layerwise(initial, hidden_factory,
+                                  opts.num_layers, train_fn,
+                                  key=jax.random.PRNGKey(777))
 
     def _build_net(self, input_dim: int, num_pdfs: int) -> Nnet:
         from kaldi_aslp_tpu.models import (

@@ -10,3 +10,8 @@ from kaldi_aslp_tpu.train.newbob import (
 )
 from kaldi_aslp_tpu.train.trainer import FrameTrainer, CtcTrainer
 from kaldi_aslp_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from kaldi_aslp_tpu.train.pretrain import (
+    insert_components,
+    last_updatable_index,
+    pretrain_layerwise,
+)
