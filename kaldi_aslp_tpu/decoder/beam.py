@@ -12,15 +12,14 @@ re-expresses every step as static-shape vector ops inside one
 ``lax.scan`` over frames:
 
   1. *expansion*: out-arcs of the frontier are enumerated by exclusive-
-     cumsum over per-state degrees + ``searchsorted`` into a fixed arc
-     budget A (the frontier is score-sorted, so on overflow the worst
-     tokens lose their arcs first — the analogue of adaptive-beam
-     tightening);
+     cumsum over per-state degrees + a scatter/cummax segment fill into
+     a fixed arc budget A (the frontier is score-sorted, so on overflow
+     the worst tokens lose their arcs first — the analogue of
+     adaptive-beam tightening);
   2. *beam prune*: candidates below ``best - beam`` are masked;
-  3. *dedup*: scatter-max into a dense per-state score table (HBM,
-     O(num_states) storage but only O(A) touched entries per frame —
-     the touched entries are scattered back to -inf afterwards, so no
-     per-frame O(S) clear);
+  3. *dedup*: sort candidates by (destination, -score); the first entry
+     of each destination run is its exact per-state max.  Scatter-free:
+     TPU sorts are vectorized where scatters serialize per element;
   4. *max-active prune*: ``lax.top_k`` over the A candidates → the new
      frontier, emitted with (arc id, previous slot) backpointers;
   5. *epsilon stages*: ``eps_diameter`` further expansion+merge rounds
@@ -44,7 +43,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from kaldi_aslp_tpu.decoder.viterbi import NEG_INF, PackedGraph, _round_up
+from kaldi_aslp_tpu.decoder.viterbi import NEG_INF, PackedGraph
 from kaldi_aslp_tpu.decoder.lattice import Lattice, LatticeArc
 
 
@@ -105,94 +104,78 @@ class CsrGraph:
         return cls.from_packed(PackedGraph.from_fst(fst))
 
 
+# sentinel destination for dead candidates: sorts after every real
+# state id (graphs are << 2^30 states)
+INVALID_DST = np.int32(2 ** 30)
+
+
 def _expand(states, row_ptr, budget: int):
     """Enumerate the out-arcs of the frontier into a fixed budget.
 
+    Segment fill by scatter + cummax: write each frontier slot's id at
+    its block start, forward-fill, and offset into the CSR rows.  (An
+    earlier version used ``searchsorted``, which XLA lowers to a
+    log2(K)-deep chain of [A]-sized gathers — 4.3 ms/frame on a v5e at
+    A=32k vs 1.3 ms for this formulation.)
+
     Returns (arc_pos [A] int32 absolute positions into the CSR arrays,
     slot [A] frontier slot each arc came from, valid [A] bool)."""
+    K = states.shape[0]
     safe = jnp.maximum(states, 0)
-    deg = jnp.where(states >= 0, row_ptr[safe + 1] - row_ptr[safe], 0)
+    starts = row_ptr[safe]
+    deg = jnp.where(states >= 0, row_ptr[safe + 1] - starts, 0)
     cum = jnp.cumsum(deg)                       # inclusive
+    excl = cum - deg
     total = cum[-1]
+    pos = jnp.where(deg > 0, excl, budget)      # dropped if no arcs
+    slot_ids = jnp.arange(K, dtype=jnp.int32)
+    mark = jnp.full(budget, -1, jnp.int32).at[pos].max(
+        slot_ids, mode="drop")
+    slot = jax.lax.cummax(mark)
+    slot_c = jnp.clip(slot, 0, K - 1)
     j = jnp.arange(budget, dtype=jnp.int32)
-    slot = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-    slot_c = jnp.minimum(slot, states.shape[0] - 1)
-    seg_start = cum[slot_c] - deg[slot_c]
-    arc_pos = row_ptr[jnp.maximum(states[slot_c], 0)] + (j - seg_start)
-    valid = (j < total) & (slot < states.shape[0])
+    arc_pos = starts[slot_c] + (j - excl[slot_c])
+    valid = (j < total) & (slot >= 0)
     return jnp.where(valid, arc_pos, 0), slot_c, valid
 
 
-def _dedup_topk(cand_dst, cand_score, valid, dense_score, dense_winner,
-                K: int, trash: int, approx: bool = False):
-    """Scatter-max dedup over the dense table then top-K.
+def _dedup_topk(cand_dst, cand_score, valid, K: int):
+    """Exact per-state dedup + top-K, scatter-free.
 
-    ``approx`` uses lax.approx_max_k — much faster on TPU and the right
-    analogue of the reference's hashed max-active pruning, which is
-    itself approximate (faster-decoder.h GetCutoff).
+    Sort candidates by (dst, -score): the best candidate per state is
+    the first of its run; mask the rest and top-K what survives.  TPU
+    sorts are vectorized and vmap cleanly, unlike the dense scatter-max
+    table this replaces (serialized per element, O(num_states) carry).
 
-    Returns (new_states, new_scores, chosen_idx [K] candidate index (or
-    -1 for dead slots), cleared dense tables)."""
+    Returns (new_states, new_scores, chosen_idx [K] candidate index,
+    -1 for dead slots)."""
     A = cand_dst.shape[0]
     score_all = jnp.where(valid, cand_score, NEG_INF)
-    if approx:
-        # TPU scatters serialize per element, so dedup over all A
-        # candidates dominates the frame.  Instead: approx-select the
-        # best 2K candidates FIRST (fast sublane-parallel op), dedup
-        # only those by scatter (16x fewer updates), exact top-K last.
-        # A state can lose its duplicate-shadowed runner-up slot — the
-        # same class of approximation as the reference's hashed
-        # max-active cutoff (faster-decoder.h GetCutoff).
-        K2 = min(2 * K, A)
-        pre_scores, pre_idx = jax.lax.approx_max_k(
-            score_all, K2, recall_target=0.95)
-        pre_idx = pre_idx.astype(jnp.int32)
-        pre_dst = cand_dst[pre_idx]
-        alive0 = pre_scores > NEG_INF / 2
-        dst_idx = jnp.where(alive0, pre_dst, trash)
-        ds = dense_score.at[dst_idx].max(
-            jnp.where(alive0, pre_scores, NEG_INF), mode="drop")
-        is_win = alive0 & (pre_scores >= ds[dst_idx])
-        kidx = jnp.arange(K2, dtype=jnp.int32)
-        dw = dense_winner.at[jnp.where(is_win, dst_idx, trash)].max(
-            kidx, mode="drop")
-        rep = is_win & (dw[dst_idx] == kidx)
-        masked = jnp.where(rep, pre_scores, NEG_INF)
-        topk_scores, sel = jax.lax.top_k(masked, K)
-        topk_idx = pre_idx[sel]
-    else:
-        dst_idx = jnp.where(valid, cand_dst, trash)
-        ds = dense_score.at[dst_idx].max(score_all, mode="drop")
-        is_win = valid & (score_all >= ds[dst_idx])
-        jidx = jnp.arange(A, dtype=jnp.int32)
-        dw = dense_winner.at[jnp.where(is_win, dst_idx, trash)].max(
-            jidx, mode="drop")
-        rep = is_win & (dw[dst_idx] == jidx)
-        masked = jnp.where(rep, score_all, NEG_INF)
-        topk_scores, topk_idx = jax.lax.top_k(masked, K)
+    dsts = jnp.where(valid, cand_dst, INVALID_DST)
+    idx = jnp.arange(A, dtype=jnp.int32)
+    sd, snegs, sidx = jax.lax.sort((dsts, -score_all, idx), num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sd[1:] != sd[:-1]])
+    masked = jnp.where(first & (sd < INVALID_DST), -snegs, NEG_INF)
+    topk_scores, sel = jax.lax.top_k(masked, K)
     alive = topk_scores > NEG_INF / 2
-    new_states = jnp.where(alive, cand_dst[topk_idx], -1)
+    new_states = jnp.where(alive, sd[sel], -1)
     new_scores = jnp.where(alive, topk_scores, NEG_INF)
-    chosen = jnp.where(alive, topk_idx, -1)
-    # surgical clear of only the touched entries
-    ds = ds.at[dst_idx].set(NEG_INF, mode="drop")
-    dw = dw.at[dst_idx].set(-1, mode="drop")
-    return new_states, new_scores, chosen, ds, dw
+    chosen = jnp.where(alive, sidx[sel], -1)
+    return new_states, new_scores, chosen
 
 
 @partial(jax.jit, static_argnames=(
-    "K", "A", "chunk", "eps_rounds", "record_lattice", "approx_topk"))
+    "K", "A", "chunk", "eps_rounds", "record_lattice"))
 def _beam_scan(
     ll_all,              # [Tp, P] device-resident acoustic scores
     t0,                  # scalar: first frame of this chunk
     total_t,             # scalar: true utterance length
     states, scores,      # carry-in frontier [K]
-    dense_score, dense_winner,   # [Sp+1]
-    em_row_ptr, em_dst, em_pdf, em_weight, em_arc,
-    ep_row_ptr, ep_dst, ep_weight, ep_arc,
+    em_row_ptr, em_pack,     # CSR row ptr + packed [N,4] arc rows
+    ep_row_ptr, ep_pack,     # eps CSR row ptr + packed [N,3] rows
     acoustic_scale, beam,
     K: int, A: int, chunk: int, eps_rounds: int, record_lattice: bool,
-    approx_topk: bool = False,
 ):
     """One chunk of frames starting at traced offset ``t0`` (the slice
     happens inside the jit so ONE compile serves every chunk — eager
@@ -201,13 +184,12 @@ def _beam_scan(
     stage (0 = emitting, 1..eps_rounds = eps) the backpointer planes
     (arc, prev slot) and, in lattice mode, the surviving candidate
     records."""
-    trash = dense_score.shape[0] - 1
     loglikes = jax.lax.dynamic_slice_in_dim(ll_all, t0, chunk)
     valid_frames = (t0 + jnp.arange(chunk)) < total_t
 
     def frame(carry, inp):
         ll_t, v_t = inp
-        st, sc, ds, dw = carry
+        st, sc = carry
 
         stage_arc = []
         stage_slot = []
@@ -216,19 +198,24 @@ def _beam_scan(
         rec_score = []
 
         # ---- stage 0: emitting arcs consume the acoustic frame ----
+        # one row gather per arc: the packed [N, 4] layout turns four
+        # scattered HBM accesses (dst/pdf/weight/arc) into one —
+        # random-access gathers pay per touched cache line, not per
+        # element, so AoS beats SoA ~4x here (measured on v5e)
         arc_pos, slot, ok = _expand(st, em_row_ptr, A)
-        ac = acoustic_scale * ll_t[em_pdf[arc_pos]]
-        cand = sc[slot] - em_weight[arc_pos] + ac
-        cand_dst = em_dst[arc_pos]
+        row = em_pack[arc_pos]                   # [A, 4] int32
+        cand_dst = row[:, 0]
+        ac = acoustic_scale * ll_t[row[:, 1]]
+        w = jax.lax.bitcast_convert_type(row[:, 2], jnp.float32)
+        cand = sc[slot] - w + ac
         best = jnp.max(jnp.where(ok, cand, NEG_INF))
         ok = ok & (cand >= best - beam)
-        nst, nsc, chosen, ds, dw = _dedup_topk(
-            cand_dst, cand, ok, ds, dw, K, trash, approx_topk)
+        nst, nsc, chosen = _dedup_topk(cand_dst, cand, ok, K)
         sel = jnp.maximum(chosen, 0)
-        stage_arc.append(jnp.where(chosen >= 0, em_arc[arc_pos[sel]], -1))
+        stage_arc.append(jnp.where(chosen >= 0, row[sel, 3], -1))
         stage_slot.append(jnp.where(chosen >= 0, slot[sel], -1))
         if record_lattice:
-            rec_arc.append(jnp.where(ok, em_arc[arc_pos], -1))
+            rec_arc.append(jnp.where(ok, row[:, 3], -1))
             rec_slot.append(jnp.where(ok, slot, -1))
             rec_score.append(jnp.where(ok, cand, NEG_INF))
         st, sc = nst, nsc
@@ -236,26 +223,27 @@ def _beam_scan(
         # ---- eps stages: relax non-emitting arcs, merge with frontier
         for _ in range(eps_rounds):
             arc_pos, slot, ok = _expand(st, ep_row_ptr, A)
-            cand_e = sc[slot] - ep_weight[arc_pos]
-            dst_e = ep_dst[arc_pos]
+            erow = ep_pack[arc_pos]              # [A, 3] int32
+            dst_e = erow[:, 0]
+            w_e = jax.lax.bitcast_convert_type(erow[:, 1], jnp.float32)
+            cand_e = sc[slot] - w_e
             ok = ok & (cand_e >= best - beam)
             # merge candidates with the carried frontier: first K
             # entries are the frontier itself (arc = -1 marker)
-            m_dst = jnp.concatenate([jnp.where(st >= 0, st, trash), dst_e])
+            m_dst = jnp.concatenate([st, dst_e])
             m_score = jnp.concatenate([sc, cand_e])
             m_ok = jnp.concatenate([st >= 0, ok])
-            nst, nsc, chosen, ds, dw = _dedup_topk(
-                m_dst, m_score, m_ok, ds, dw, K, trash, approx_topk)
+            nst, nsc, chosen = _dedup_topk(m_dst, m_score, m_ok, K)
             sel = jnp.maximum(chosen, 0)
             from_eps = chosen >= K
             eps_sel = jnp.maximum(sel - K, 0)
             stage_arc.append(jnp.where(
-                from_eps, ep_arc[arc_pos[eps_sel]], -1))
+                from_eps, erow[eps_sel, 2], -1))
             stage_slot.append(jnp.where(
                 chosen < 0, -1,
                 jnp.where(from_eps, slot[eps_sel], sel)))
             if record_lattice:
-                rec_arc.append(jnp.where(ok, ep_arc[arc_pos], -1))
+                rec_arc.append(jnp.where(ok, erow[:, 2], -1))
                 rec_slot.append(jnp.where(ok, slot, -1))
                 rec_score.append(jnp.where(ok, cand_e, NEG_INF))
             st, sc = nst, nsc
@@ -273,12 +261,11 @@ def _beam_scan(
                          jnp.stack(rec_score))
         st = jnp.where(v_t, st, carry[0])
         sc = jnp.where(v_t, sc, carry[1])
-        return (st, sc, ds, dw), out
+        return (st, sc), out
 
-    (states, scores, dense_score, dense_winner), outs = jax.lax.scan(
-        frame, (states, scores, dense_score, dense_winner),
-        (loglikes, valid_frames))
-    return (states, scores, dense_score, dense_winner), outs
+    (states, scores), outs = jax.lax.scan(
+        frame, (states, scores), (loglikes, valid_frames))
+    return (states, scores), outs
 
 
 @partial(jax.jit, static_argnames=("stages",))
@@ -316,6 +303,9 @@ class BeamSearchDecoder:
                  acoustic_scale: float = 1.0, beam: float = 16.0,
                  max_active: int = 4096, arc_budget: Optional[int] = None,
                  chunk: int = 128, approx_topk: Optional[bool] = None):
+        # approx_topk is accepted for back-compat and ignored: the
+        # sort-based dedup is exact AND as fast as the old approx path
+        del approx_topk
         if isinstance(graph, PackedGraph):
             graph = CsrGraph.from_packed(graph)
         self.graph = graph
@@ -325,25 +315,26 @@ class BeamSearchDecoder:
         self.K = int(max_active)
         self.A = int(arc_budget or 8 * self.K)
         self.chunk = int(chunk)
-        if approx_topk is None:
-            # approx_max_k lowers to a fast TPU op; on CPU it is just a
-            # slower exact top_k emulation
-            import jax as _jax
-            approx_topk = _jax.default_backend() == "tpu"
-        self.approx_topk = bool(approx_topk)
-        self.Sp = _round_up(max(graph.num_states, 1), 1024)
         self._em_pdf = self.tid_to_pdf[graph.em_tid]
-        # device-resident graph arrays
+        # device-resident graph arrays; per-arc fields are packed into
+        # one row (AoS) so the random gather touches ONE cache line
+        # per arc instead of four
+        em_pack = np.stack([
+            graph.em_dst.astype(np.int32),
+            self._em_pdf.astype(np.int32),
+            graph.em_weight.astype(np.float32).view(np.int32),
+            graph.em_arc.astype(np.int32),
+        ], axis=1)
+        ep_pack = np.stack([
+            graph.ep_dst.astype(np.int32),
+            graph.ep_weight.astype(np.float32).view(np.int32),
+            graph.ep_arc.astype(np.int32),
+        ], axis=1)
         self._dev = {
             "em_row_ptr": jnp.asarray(graph.em_row_ptr),
-            "em_dst": jnp.asarray(graph.em_dst),
-            "em_pdf": jnp.asarray(self._em_pdf),
-            "em_weight": jnp.asarray(graph.em_weight),
-            "em_arc": jnp.asarray(graph.em_arc),
+            "em_pack": jnp.asarray(em_pack),
             "ep_row_ptr": jnp.asarray(graph.ep_row_ptr),
-            "ep_dst": jnp.asarray(graph.ep_dst),
-            "ep_weight": jnp.asarray(graph.ep_weight),
-            "ep_arc": jnp.asarray(graph.ep_arc),
+            "ep_pack": jnp.asarray(ep_pack),
         }
         self.eps_rounds = max(graph.eps_diameter, 0)
 
@@ -359,18 +350,15 @@ class BeamSearchDecoder:
             ll_dev = jnp.pad(ll_dev, ((0, Tp - T), (0, 0)))
         return ll_dev, Tp
 
-    def _scan_chunk(self, ll_dev, t0: int, T: int, st, sc, ds, dw,
+    def _scan_chunk(self, ll_dev, t0: int, T: int, st, sc,
                     record_lattice: bool):
         return _beam_scan(
-            ll_dev, jnp.int32(t0), jnp.int32(T), st, sc, ds, dw,
-            self._dev["em_row_ptr"], self._dev["em_dst"],
-            self._dev["em_pdf"], self._dev["em_weight"],
-            self._dev["em_arc"],
-            self._dev["ep_row_ptr"], self._dev["ep_dst"],
-            self._dev["ep_weight"], self._dev["ep_arc"],
+            ll_dev, jnp.int32(t0), jnp.int32(T), st, sc,
+            self._dev["em_row_ptr"], self._dev["em_pack"],
+            self._dev["ep_row_ptr"], self._dev["ep_pack"],
             jnp.float32(self.acoustic_scale), jnp.float32(self.beam),
             self.K, self.A, self.chunk, self.eps_rounds,
-            record_lattice, self.approx_topk,
+            record_lattice,
         )
 
     # -- initial frontier: start state + host eps closure --------------
@@ -405,16 +393,14 @@ class BeamSearchDecoder:
         states, scores, init_bp = self._init_frontier()
         st = jnp.asarray(states)
         sc = jnp.asarray(scores)
-        ds = jnp.full(self.Sp + 1, NEG_INF, jnp.float32)
-        dw = jnp.full(self.Sp + 1, -1, jnp.int32)
         planes_arc: List[np.ndarray] = []
         planes_slot: List[np.ndarray] = []
         recs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         ll_dev, _Tp = self._pad_device(loglikes, T)
         for t0 in range(0, T, self.chunk):
             tc = min(self.chunk, T - t0)
-            (st, sc, ds, dw), outs = self._scan_chunk(
-                ll_dev, t0, T, st, sc, ds, dw, record_lattice)
+            (st, sc), outs = self._scan_chunk(
+                ll_dev, t0, T, st, sc, record_lattice)
             planes_arc.append(np.asarray(outs[0])[:tc])
             planes_slot.append(np.asarray(outs[1])[:tc])
             if record_lattice:
@@ -453,8 +439,6 @@ class BeamSearchDecoder:
         states0, scores0, init_bp = self._init_frontier()
         st = jnp.asarray(states0)
         sc = jnp.asarray(scores0)
-        ds = jnp.full(self.Sp + 1, NEG_INF, jnp.float32)
-        dw = jnp.full(self.Sp + 1, -1, jnp.int32)
         # single upload (or no-op if the AM already produced the scores
         # on device); the chunk offset is a traced scalar so one compile
         # serves every chunk
@@ -462,8 +446,8 @@ class BeamSearchDecoder:
         dev_arc = []
         dev_slot = []
         for t0 in range(0, T, self.chunk):
-            (st, sc, ds, dw), outs = self._scan_chunk(
-                ll_dev, t0, T, st, sc, ds, dw, False)
+            (st, sc), outs = self._scan_chunk(
+                ll_dev, t0, T, st, sc, False)
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
         k, score, _ = self._best_final(np.asarray(st), np.asarray(sc))
@@ -700,26 +684,22 @@ class BeamSearchDecoder:
         return Lattice(T, arcs_out, self.graph.start, finals)
 
 
-@partial(jax.jit, static_argnames=(
-    "K", "A", "chunk", "eps_rounds", "approx_topk"))
-def _beam_scan_batched(ll, t0, total_t, st, sc, ds, dw,
-                       em_row_ptr, em_dst, em_pdf, em_weight, em_arc,
-                       ep_row_ptr, ep_dst, ep_weight, ep_arc,
+@partial(jax.jit, static_argnames=("K", "A", "chunk", "eps_rounds"))
+def _beam_scan_batched(ll, t0, total_t, st, sc,
+                       em_row_ptr, em_pack,
+                       ep_row_ptr, ep_pack,
                        acoustic_scale, beam,
-                       K: int, A: int, chunk: int, eps_rounds: int,
-                       approx_topk: bool):
+                       K: int, A: int, chunk: int, eps_rounds: int):
     """vmap of the chunk scan over a batch of utterances (shared graph,
-    per-utterance frontier/length/dense tables)."""
+    per-utterance frontier/length)."""
 
-    def one(ll1, tt1, st1, sc1, ds1, dw1):
+    def one(ll1, tt1, st1, sc1):
         return _beam_scan(
-            ll1, t0, tt1, st1, sc1, ds1, dw1,
-            em_row_ptr, em_dst, em_pdf, em_weight, em_arc,
-            ep_row_ptr, ep_dst, ep_weight, ep_arc,
-            acoustic_scale, beam, K, A, chunk, eps_rounds, False,
-            approx_topk)
+            ll1, t0, tt1, st1, sc1,
+            em_row_ptr, em_pack, ep_row_ptr, ep_pack,
+            acoustic_scale, beam, K, A, chunk, eps_rounds, False)
 
-    return jax.vmap(one)(ll, total_t, st, sc, ds, dw)
+    return jax.vmap(one)(ll, total_t, st, sc)
 
 
 class BatchedBeamDecoder(BeamSearchDecoder):
@@ -728,12 +708,13 @@ class BatchedBeamDecoder(BeamSearchDecoder):
     re-expressed as one vectorized device program), parity-tested
     against single-stream decode.
 
-    Measured caveat: on current TPUs the vmapped scatter/gather steps
-    serialize per batch lane, so this does NOT yet beat B independent
-    decodes — chip-level decode throughput needs the expansion/dedup
-    re-written as a Pallas kernel (round-3 queue).  Memory: the
-    device-resident backpointer planes are [B, Tp, stages, K] int32 ×2
-    — size the batch accordingly."""
+    Measured caveat (v5e, 540k-state graph, B=8, K=2048, A=32k): the
+    batch amortizes fixed per-frame op overhead but the [B, A] HBM arc
+    gathers scale with B, so per-stream RTF ≈ 0.35 vs 0.23 for one
+    stream — batch decode still does NOT beat B sequential decodes.
+    Use it for lockstep latency (serve B sessions concurrently), not
+    chip throughput.  Memory: the device-resident backpointer planes
+    are [B, Tp, stages, K] int32 ×2 — size the batch accordingly."""
 
     def decode_batch(self, loglikes_list):
         """list of [T_b, P] → list of (words, ali, score)."""
@@ -754,22 +735,16 @@ class BatchedBeamDecoder(BeamSearchDecoder):
         ll_dev = jnp.asarray(ll)
         st = jnp.broadcast_to(jnp.asarray(states0), (B, self.K))
         sc = jnp.broadcast_to(jnp.asarray(scores0), (B, self.K))
-        ds = jnp.full((B, self.Sp + 1), NEG_INF, jnp.float32)
-        dw = jnp.full((B, self.Sp + 1), -1, jnp.int32)
         total_t = jnp.asarray(lens, jnp.int32)
         dev_arc, dev_slot = [], []
         for t0 in range(0, Tmax, self.chunk):
-            (st, sc, ds, dw), outs = _beam_scan_batched(
-                ll_dev, jnp.int32(t0), total_t, st, sc, ds, dw,
-                self._dev["em_row_ptr"], self._dev["em_dst"],
-                self._dev["em_pdf"], self._dev["em_weight"],
-                self._dev["em_arc"],
-                self._dev["ep_row_ptr"], self._dev["ep_dst"],
-                self._dev["ep_weight"], self._dev["ep_arc"],
+            (st, sc), outs = _beam_scan_batched(
+                ll_dev, jnp.int32(t0), total_t, st, sc,
+                self._dev["em_row_ptr"], self._dev["em_pack"],
+                self._dev["ep_row_ptr"], self._dev["ep_pack"],
                 jnp.float32(self.acoustic_scale),
                 jnp.float32(self.beam),
                 self.K, self.A, self.chunk, self.eps_rounds,
-                self.approx_topk,
             )
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
