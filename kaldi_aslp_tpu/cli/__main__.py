@@ -9,7 +9,8 @@ from __future__ import annotations
 import sys
 
 from kaldi_aslp_tpu.cli import feat_tools, fst_tools, lat_tools, \
-    nnet_tools, script_tools, train_tools, vad_tools
+    nnet_tools, online_tools, parallel_tools, script_tools, \
+    train_tools, tree_tools, vad_tools
 
 TOOLS = {
     # aslp-nnetbin trainers (blstm/perutt variants are the same loop —
@@ -17,11 +18,24 @@ TOOLS = {
     "aslp-nnet-train-simple": train_tools.nnet_train_simple,
     "aslp-nnet-train-mse": train_tools.nnet_train_simple,
     "aslp-nnet-train-frame": train_tools.nnet_train_simple,
+    "aslp-nnet-train-frame-mimo": train_tools.nnet_train_simple,
     "aslp-nnet-train-ctc-streams": train_tools.nnet_train_ctc_streams,
+    # warp-ctc role is folded into the single validated CTC impl
+    "aslp-nnet-train-warp-ctc-streams": train_tools.nnet_train_ctc_streams,
+    "aslp-nnet-train-ctc": train_tools.nnet_train_ctc_streams,
     "aslp-nnet-train-lstm-streams": train_tools.nnet_train_lstm_streams,
+    "aslp-nnet-train-lstm-streams-skip": train_tools.nnet_train_lstm_streams,
     "aslp-nnet-train-blstm-streams": train_tools.nnet_train_lstm_streams,
     "aslp-nnet-train-blstm-streams-lc": train_tools.nnet_train_lstm_streams,
+    "aslp-nnet-train-blstm-parallel": train_tools.nnet_train_lstm_streams,
     "aslp-nnet-train-perutt": train_tools.nnet_train_lstm_streams,
+    # aslp-parallelbin workers (mesh devices replace MPI ranks)
+    "aslp-nnet-train-frame-worker": parallel_tools.nnet_train_worker,
+    "aslp-nnet-train-lstm-stream-worker": parallel_tools.nnet_train_worker,
+    "aslp-nnet-train-lc-blstm-streams-worker":
+        parallel_tools.nnet_train_worker,
+    "aslp-nnet-train-simple-mpi": parallel_tools.nnet_train_worker,
+    "aslp-nnet-train-server": parallel_tools.nnet_train_server,
     # aslp-vadbin / pitch
     "aslp-apply-energy-vad": vad_tools.apply_energy_vad,
     "aslp-apply-nnet-vad": vad_tools.apply_nnet_vad,
@@ -33,6 +47,9 @@ TOOLS = {
     "aslp-eval-vad": vad_tools.eval_vad_cli,
     "aslp-eval-energy-vad": vad_tools.eval_vad_cli,
     "aslp-eval-nn-vad": vad_tools.eval_vad_cli,
+    "aslp-eval-gmm-vad": vad_tools.eval_gmm_vad_cli,
+    "aslp-eval-vad-boundary": vad_tools.eval_vad_boundary_cli,
+    "aslp-eval-nn-vad-boundary": vad_tools.eval_vad_boundary_cli,
     "aslp-compute-spectrum-feats": vad_tools.compute_spectrum_feats,
     "aslp-ali-to-sil": vad_tools.ali_to_sil,
     "aslp-select-frames": vad_tools.select_frames_cli,
@@ -79,8 +96,34 @@ TOOLS = {
     "lattice-lmrescore": lat_tools.lattice_lmrescore_cli,
     "latgen-faster-mapped": lat_tools.latgen_faster_mapped_cli,
     "aslp-latgen-faster-rtf": lat_tools.latgen_faster_rtf_cli,
+    # aslp-bin CD-phone prep family
+    "aslp-acc-tree-stats-cd-phone-equal":
+        tree_tools.acc_tree_stats_cd_phone_equal,
+    "aslp-acc-tree-stats-cd-phone-kmeans":
+        tree_tools.acc_tree_stats_cd_phone_kmeans,
+    "aslp-acc-tree-stats-cd-phone-viterbi":
+        tree_tools.acc_tree_stats_cd_phone_viterbi,
+    "aslp-acc-tree-stats-phone-mean":
+        tree_tools.acc_tree_stats_phone_mean,
+    "aslp-acc-tree-stats-phone-mean-per-frame":
+        tree_tools.acc_tree_stats_phone_mean_per_frame,
+    "aslp-acc-tree-stats-phone-median":
+        tree_tools.acc_tree_stats_phone_median,
+    "aslp-compile-questions-phone": tree_tools.compile_questions_phone_cli,
+    "aslp-tree-bind-info": tree_tools.tree_bind_info_cli,
+    "aslp-cluster-kmeans-cd-phone-test":
+        tree_tools.cluster_kmeans_cd_phone_test_cli,
+    "aslp-convert-ali": tree_tools.convert_ali_cli,
+    "aslp-make-ctc-transducer": tree_tools.make_ctc_transducer_cli,
+    "aslp-make-h3-transducer": tree_tools.make_h3_transducer_cli,
+    # aslp-onlinebin servers + client
+    "aslp-online-nnet-vad-server": online_tools.online_nnet_vad_server,
+    "aslp-online-energy-vad-server":
+        online_tools.online_energy_vad_server,
+    "aslp-audio-provider-client": online_tools.audio_provider_client,
     # bin / aslp-bin
     "ali-to-pdf": nnet_tools.ali_to_pdf,
+    "aslp-ali-to-pdf": nnet_tools.ali_to_pdf,
     "aslp-ali-to-matrix": nnet_tools.ali_to_matrix,
     "aslp-matrix-to-txt": nnet_tools.matrix_to_txt,
     "aslp-txt-to-matrix": nnet_tools.txt_to_matrix,

@@ -269,3 +269,81 @@ def apply_gmm_vad(argv):
         for utt, feats in sequential_matrix_reader(args[2]):
             w[utt] = vad.detect(feats).astype(np.int32)
     return 0
+
+def eval_vad_boundary_cli(argv):
+    """Boundary placement accuracy of VAD decisions (reference:
+    aslp-vadbin/aslp-eval-vad-boundary.cc, aslp-eval-nn-vad-boundary.cc
+    via aslp-vad/boundary-tool.h)."""
+    @dataclasses.dataclass
+    class Flags(Config):
+        context: int = 10
+
+    flags = Flags()
+    args = parse_options(
+        argv, [flags],
+        "aslp-eval-vad-boundary label-rspec hyp-rspec", 2, 2,
+    )
+    from kaldi_aslp_tpu.io import random_access_int_vector_reader
+    from kaldi_aslp_tpu.vad.boundary import BoundaryTool
+
+    tool = BoundaryTool(flags.context)
+    hyps = random_access_int_vector_reader(args[1])
+    num_done = num_err = 0
+    for utt, label in sequential_int_vector_reader(args[0]):
+        if utt not in hyps:
+            num_err += 1
+            continue
+        hyp = np.asarray(hyps[utt])
+        n = min(len(label), len(hyp))
+        if tool.add_data(np.asarray(label[:n]), hyp[:n]):
+            num_done += 1
+        else:
+            num_err += 1
+    print(tool.report())
+    print(f"Done {num_done} files; {num_err} with errors.")
+    return 0 if num_done > 0 else 1
+
+
+def eval_gmm_vad_cli(argv):
+    """Apply GMM-LLR VAD and score against reference sil/speech targets
+    in one pass (reference: aslp-vadbin/aslp-eval-gmm-vad.cc role)."""
+    from kaldi_aslp_tpu.gmm.global_gmm import GlobalGmm
+    from kaldi_aslp_tpu.io import random_access_int_vector_reader
+    from kaldi_aslp_tpu.vad.gmm_vad import GmmVad
+    from kaldi_aslp_tpu.vad.roc import auc, eer
+
+    vopts = VadOptions()
+    gopts = GmmVadCliOptions()
+    args = parse_options(
+        argv, [vopts, gopts],
+        "aslp-eval-gmm-vad sil.npz speech.npz feats-rspec ref-rspec",
+        4, 4,
+    )
+    vad = GmmVad(GlobalGmm.load(args[0]), GlobalGmm.load(args[1]),
+                 vopts, llr_threshold=gopts.llr_threshold)
+    refs = random_access_int_vector_reader(args[3])
+    tp = fp = fn = tn = 0
+    scores_all, labels_all = [], []
+    for utt, feats in sequential_matrix_reader(args[2]):
+        if utt not in refs:
+            continue
+        ref = np.asarray(refs[utt])
+        hyp = vad.detect(feats)
+        n = min(len(hyp), len(ref))
+        h = hyp[:n] > 0
+        r = ref[:n] > 0
+        tp += int((h & r).sum())
+        fp += int((h & ~r).sum())
+        fn += int((~h & r).sum())
+        tn += int((~h & ~r).sum())
+        scores_all.append(np.asarray(vad.frame_scores(feats))[:n])
+        labels_all.append(ref[:n])
+    total = max(tp + fp + fn + tn, 1)
+    print(f"frames {total} accuracy {(tp + tn) / total:.4f} "
+          f"false_alarm {fp / max(fp + tn, 1):.4f} "
+          f"miss {fn / max(fn + tp, 1):.4f}")
+    if scores_all:
+        s = np.concatenate(scores_all)
+        y = np.concatenate(labels_all)
+        print(f"AUC {auc(s, y):.4f} EER {eer(s, y):.4f}")
+    return 0

@@ -81,6 +81,7 @@ def make_bmuf_block_step(
     inner_steps: int = 2,
     block_axis: str = "block",
     data_axis: str = "data",
+    scan_batches: bool = False,
 ):
     """BSP inside blocks, BMUF across blocks, in ONE shard_map over a
     (block, data) mesh — the runnable form of the reference's
@@ -95,7 +96,14 @@ def make_bmuf_block_step(
     across-block model average.
 
     Returns step(w, w_prev, delta, opt_states, batch, lr) →
-    (w, w_prev, delta, opt_states, loss)."""
+    (w, w_prev, delta, opt_states, loss).
+
+    scan_batches=False: every inner step re-uses ``batch`` (the dryrun
+    form).  scan_batches=True: each leaf of ``batch`` carries a leading
+    ``inner_steps`` dim and the inner scan consumes one slice per step —
+    the worker-CLI form where --sync-period frames of fresh data pass
+    between BMUF syncs (reference: bmuf-worker.cc Synchronize every
+    sync_period frames)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -113,11 +121,12 @@ def make_bmuf_block_step(
                 t)
         p = vary(w)
 
-        def one(carry, _):
+        def one(carry, step_batch):
             p, opt = carry
+            b = step_batch if scan_batches else batch
 
             def global_loss(pp):
-                loss, aux = loss_fn(pp, batch)
+                loss, aux = loss_fn(pp, b)
                 return jax.lax.pmean(loss, data_axis), aux
 
             (loss, _aux), grads = jax.value_and_grad(
@@ -126,7 +135,8 @@ def make_bmuf_block_step(
             return (p, opt), loss
 
         (p, opt), losses = jax.lax.scan(
-            one, (p, opt), None, length=inner_steps)
+            one, (p, opt), batch if scan_batches else None,
+            length=None if scan_batches else inner_steps)
         p_avg = jax.tree_util.tree_map(
             lambda a: jax.lax.pmean(a, block_axis), p)
         # BMUF filter (replicated math, identical on every device)
@@ -144,11 +154,12 @@ def make_bmuf_block_step(
         opt_out = jax.tree_util.tree_map(lambda v: v[None], opt)
         return new_w, new_prev, new_delta, opt_out, loss_out
 
+    batch_spec = (P(None, (block_axis, data_axis)) if scan_batches
+                  else P((block_axis, data_axis)))
     step = shard_map(
         shard_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(block_axis),
-                  P((block_axis, data_axis)), P()),
+        in_specs=(P(), P(), P(), P(block_axis), batch_spec, P()),
         out_specs=(P(), P(), P(), P(block_axis), P()),
     )
     return jax.jit(step)
