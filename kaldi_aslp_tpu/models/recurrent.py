@@ -40,8 +40,42 @@ def _mm(a, b, dtype=None):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+@jax.custom_vjp
+def _einsum_stg_bf16(x, w):
+    """Input-projection einsum with bf16 operands FORWARD AND BACKWARD.
+
+    Without the custom VJP the transpose einsums mix the f32 cotangent
+    with the bf16 weight and XLA upcasts them to f32 matmuls — at
+    [S*T, 640]x[640, 4C] sizes that is the single largest f32 block of
+    the training step (measured ~5 ms/step on the flagship config, half
+    MXU rate).  A bf16 component means bf16 matmuls throughout; f32
+    accumulation keeps the update numerically sane."""
+    return jnp.einsum("std,gd->stg", x.astype(jnp.bfloat16),
+                      w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+def _einsum_stg_bf16_fwd(x, w):
+    return _einsum_stg_bf16(x, w), (x, w)
+
+
+def _einsum_stg_bf16_bwd(res, dy):
+    x, w = res
+    dyb = dy.astype(jnp.bfloat16)
+    dx = jnp.einsum("stg,gd->std", dyb, w.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    dw = jnp.einsum("stg,std->gd", dyb, x.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+_einsum_stg_bf16.defvjp(_einsum_stg_bf16_fwd, _einsum_stg_bf16_bwd)
+
+
 def _einsum_stg(x, w, dtype=None):
     if dtype is not None:
+        if dtype == jnp.bfloat16:
+            return _einsum_stg_bf16(x, w)
         x = x.astype(dtype)
         w = w.astype(dtype)
     return jnp.einsum("std,gd->stg", x, w,
@@ -391,11 +425,52 @@ class _Bidirectional(Component):
         # what makes the LC variant "latency-controlled")
         return {"fwd": self.fwd.init_state(num_streams)}
 
+    def _use_fused(self, train):
+        """Fused two-directions-per-grid-step Pallas core: only for
+        LSTMP cells on the TPU bf16 training path (bf16 activation
+        storage is what makes both directions fit VMEM)."""
+        if not train or self.cell_cls is not LstmProjectedStreams:
+            return False
+        use_pallas = self.attrs.get("pallas", None)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        return (use_pallas
+                and getattr(self.fwd, "compute_dtype", None)
+                is not None)
+
+    def _apply_fused(self, params, x, state, mask):
+        from kaldi_aslp_tpu.ops.lstm_pallas import bilstmp_train_core
+
+        pf, pb = params["fwd"], params["bwd"]
+        dt = self.fwd.compute_dtype
+        xgf = _einsum_stg(x, pf["w_gifo_x"], dt) + pf["bias"]
+        xgb = _einsum_stg(x, pb["w_gifo_x"], dt) + pb["bias"]
+        peep_f = jnp.stack([pf["peephole_i_c"], pf["peephole_f_c"],
+                            pf["peephole_o_c"]])
+        peep_b = jnp.stack([pb["peephole_i_c"], pb["peephole_f_c"],
+                            pb["peephole_o_c"]])
+        import os
+        mxu_bf16 = not os.environ.get("KALDI_ASLP_LSTM_MXU_FP32")
+        ysf, ysb, fc, fr = bilstmp_train_core(
+            xgf, xgb, mask, pf["w_gifo_r"], pf["w_r_m"], peep_f,
+            pb["w_gifo_r"], pb["w_r_m"], peep_b,
+            state["fwd"]["c"], state["fwd"]["r"],
+            cell_clip=self.fwd.cell_clip,
+            interpret=jax.default_backend() == "cpu",
+            store_bf16=True, mxu_bf16=mxu_bf16,
+        )
+        return (jnp.concatenate([ysf, ysb], axis=-1),
+                {"fwd": {"c": fc, "r": fr}})
+
     def apply(self, params, x, state=None, train=False, rng=None, mask=None):
         S, T, _ = x.shape
         if state is None:
             state = self.init_state(S)
         state = _state_like(state, x)
+        if mask is None:
+            mask = jnp.ones((S, T), jnp.float32)
+        if self._use_fused(train):
+            return self._apply_fused(params, x, state, mask)
         y_f, s_f = self.fwd.apply(params["fwd"], x, state["fwd"],
                                   train=train, rng=rng, mask=mask)
         x_rev = jnp.flip(x, axis=1)

@@ -202,7 +202,8 @@ def _lstmp_fwd_train_kernel(cell_clip: float, mxu_bf16: bool,
     C = c_scr.shape[1]
     c_prev = c_scr[:]
     r_prev = r_scr[:]
-    gates = xg_ref[0] + _mm_k(r_prev, w_r_ref[:], mxu_bf16)
+    gates = xg_ref[0].astype(jnp.float32) \
+        + _mm_k(r_prev, w_r_ref[:], mxu_bf16)
     gt = jnp.tanh(gates[:, :C])
     i = jax.nn.sigmoid(gates[:, C:2 * C] + peep_ref[0] * c_prev)
     f = jax.nn.sigmoid(gates[:, 2 * C:3 * C] + peep_ref[1] * c_prev)
@@ -217,33 +218,29 @@ def _lstmp_fwd_train_kernel(cell_clip: float, mxu_bf16: bool,
     r_scr[:] = mask_t * r + (1.0 - mask_t) * r_prev
     gates_ref[0] = jnp.concatenate([gt, i, f, o],
                                    axis=1).astype(gates_ref.dtype)
-    cs_ref[0] = c_scr[:]
-    rs_ref[0] = r_scr[:]
+    cs_ref[0] = c_scr[:].astype(cs_ref.dtype)
+    rs_ref[0] = r_scr[:].astype(rs_ref.dtype)
 
 
 def _lstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
                       dy_ref, mask_ref, gates_ref, cp_ref, rp_ref,
                       w_r_ref, w_rm_ref, peep_ref, dfc_ref, dfr_ref,
-                      dxg_ref, dic_ref, dir_ref, dwr_ref, dwrm_ref,
-                      dpeep_ref,
-                      dc_scr, dr_scr, dwr_scr, dwrm_scr, dpeep_scr):
+                      dxg_ref, dic_ref, dir_ref, drnew_ref,
+                      dc_scr, dr_scr):
     """Reverse-time backward; grid step (s, p) processes stream block s
     at frame T-1-p.
 
     The backward state carry is seeded per stream block with the
     final-state cotangents (the carries into frame T-1 ARE
-    d(final_c)/d(final_r)); weight gradients accumulate in VMEM
-    scratch across the whole grid and are emitted on the last step."""
-    sb = pl.program_id(0)
+    d(final_c)/d(final_r)).  Weight gradients are NOT accumulated here:
+    the kernel emits dgates (dxg) and dr_new per step, and the wrapper
+    reduces them against the stored activation sequences as big MXU
+    einsums over T*S — the serial chain only carries the two state
+    matmuls, halving per-step MXU work, and the [P,4C]/[C,P] f32
+    accumulators leave VMEM (headroom the fused bidirectional kernel
+    needs)."""
     p = pl.program_id(1)
-    nS = pl.num_programs(0)
     T = pl.num_programs(1)
-
-    @pl.when((sb == 0) & (p == 0))
-    def _():
-        dwr_scr[:] = jnp.zeros_like(dwr_scr)
-        dwrm_scr[:] = jnp.zeros_like(dwrm_scr)
-        dpeep_scr[:] = jnp.zeros_like(dpeep_scr)
 
     @pl.when(p == 0)
     def _():
@@ -256,14 +253,14 @@ def _lstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
     i = gates[:, C:2 * C]
     f = gates[:, 2 * C:3 * C]
     o = gates[:, 3 * C:]
-    c_prev = cp_ref[0]
-    r_prev = rp_ref[0]
+    c_prev = cp_ref[0].astype(jnp.float32)
+    r_prev = rp_ref[0].astype(jnp.float32)
+    del r_prev  # only needed by the hoisted dwr einsum outside
     mask_t = mask_ref[0][:, 0:1]
 
     cu = f * c_prev + i * gt
     c = jnp.clip(cu, -cell_clip, cell_clip) if cell_clip > 0 else cu
     tanh_c = jnp.tanh(c)
-    m = o * tanh_c
 
     dR_after = dy_ref[0] * mask_t + dr_scr[:]
     dr_new = mask_t * dR_after
@@ -274,7 +271,6 @@ def _lstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
 
     # r = m @ w_rm  (w_rm_ref: [C, P])
     dm = _mm_k(dr_new, w_rm_ref[:].T, mxu_bf16)
-    dwrm_scr[:] += _mm_k(m.T, dr_new, mxu_bf16)
     do = dm * tanh_c
     dc = dc_new + dm * o * (1.0 - tanh_c * tanh_c)
     do_lin = do * o * (1.0 - o)
@@ -291,14 +287,11 @@ def _lstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
     dg_lin = dg * (1.0 - gt * gt)
     dc_prev = dcu * f + di_lin * peep_ref[0] + df_lin * peep_ref[1] \
         + dc_prev_skip
-    dpeep_scr[0, :] += jnp.sum(di_lin * c_prev, axis=0)
-    dpeep_scr[1, :] += jnp.sum(df_lin * c_prev, axis=0)
-    dpeep_scr[2, :] += jnp.sum(do_lin * c, axis=0)
     dgates = jnp.concatenate([dg_lin, di_lin, df_lin, do_lin], axis=1)
-    dxg_ref[0] = dgates
+    dxg_ref[0] = dgates.astype(dxg_ref.dtype)
+    drnew_ref[0] = dr_new.astype(drnew_ref.dtype)
     # gates = xg + r_prev @ w_r  (w_r_ref: [P, 4C])
     dr_prev = dr_prev + _mm_k(dgates, w_r_ref[:].T, mxu_bf16)
-    dwr_scr[:] += _mm_k(r_prev.T, dgates, mxu_bf16)
     dc_scr[:] = dc_prev
     dr_scr[:] = dr_prev
 
@@ -306,12 +299,6 @@ def _lstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
     def _():
         dic_ref[:] = dc_scr[:]
         dir_ref[:] = dr_scr[:]
-
-    @pl.when((sb == nS - 1) & (p == T - 1))
-    def _():
-        dwr_ref[:] = dwr_scr[:]
-        dwrm_ref[:] = dwrm_scr[:]
-        dpeep_ref[:] = dpeep_scr[:]
 
 
 def _resident2(shape):
@@ -346,7 +333,8 @@ def _lstmp_train_fwd(xg, mask, w_r_t, w_rm_t, peep, init_c, init_r,
     blk = min(S, S_BLK)
     assert S % blk == 0
     nS = S // blk
-    xg_t = jnp.swapaxes(xg, 0, 1)
+    act_dt = jnp.bfloat16 if store_bf16 else jnp.float32
+    xg_t = jnp.swapaxes(xg, 0, 1).astype(act_dt)
     mask_t = jnp.broadcast_to(
         jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
     gates, cs, rs = pl.pallas_call(
@@ -365,8 +353,12 @@ def _lstmp_train_fwd(xg, mask, w_r_t, w_rm_t, peep, init_c, init_r,
             jax.ShapeDtypeStruct(
                 (T, S, G),
                 jnp.bfloat16 if store_bf16 else jnp.float32),
-            jax.ShapeDtypeStruct((T, S, C), jnp.float32),
-            jax.ShapeDtypeStruct((T, S, P), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (T, S, C),
+                jnp.bfloat16 if store_bf16 else jnp.float32),
+            jax.ShapeDtypeStruct(
+                (T, S, P),
+                jnp.bfloat16 if store_bf16 else jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((blk, C), jnp.float32),
@@ -378,10 +370,11 @@ def _lstmp_train_fwd(xg, mask, w_r_t, w_rm_t, peep, init_c, init_r,
 
 
 @partial(jax.jit, static_argnames=("cell_clip", "interpret",
-                                   "mxu_bf16"))
-def _lstmp_train_bwd(dys, mask, gates, c_prev_seq, r_prev_seq,
+                                   "mxu_bf16", "store_bf16"))
+def _lstmp_train_bwd(dys, mask, gates, cs, c_prev_seq, r_prev_seq,
                      w_r_t, w_rm_t, peep, d_final_c, d_final_r,
-                     cell_clip, interpret, mxu_bf16=False):
+                     cell_clip, interpret, mxu_bf16=False,
+                     store_bf16=False):
     T, S, G = gates.shape
     C = G // 4
     P = w_r_t.shape[0]
@@ -391,7 +384,8 @@ def _lstmp_train_bwd(dys, mask, gates, c_prev_seq, r_prev_seq,
     dy_t = jnp.swapaxes(dys, 0, 1)
     mask_t = jnp.broadcast_to(
         jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
-    dxg, dic, dir_, dwr, dwrm, dpeep = pl.pallas_call(
+    act_dt = jnp.bfloat16 if store_bf16 else jnp.float32
+    dxg, dic, dir_, drnew = pl.pallas_call(
         partial(_lstmp_bwd_kernel, cell_clip, mxu_bf16),
         grid=(nS, T),
         in_specs=[
@@ -404,26 +398,47 @@ def _lstmp_train_bwd(dys, mask, gates, c_prev_seq, r_prev_seq,
         out_specs=[
             _stepped2_rev((blk, G), T),
             _per_block((blk, C)), _per_block((blk, P)),
-            _resident2((P, G)), _resident2((C, P)), _resident2((3, C)),
+            _stepped2_rev((blk, P), T),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, S, G), jnp.float32),
+            jax.ShapeDtypeStruct((T, S, G), act_dt),
             jax.ShapeDtypeStruct((S, C), jnp.float32),
             jax.ShapeDtypeStruct((S, P), jnp.float32),
-            jax.ShapeDtypeStruct((P, G), jnp.float32),
-            jax.ShapeDtypeStruct((C, P), jnp.float32),
-            jax.ShapeDtypeStruct((3, C), jnp.float32),
+            jax.ShapeDtypeStruct((T, S, P), act_dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((blk, C), jnp.float32),
             pltpu.VMEM((blk, P), jnp.float32),
-            pltpu.VMEM((P, G), jnp.float32),
-            pltpu.VMEM((C, P), jnp.float32),
-            pltpu.VMEM((3, C), jnp.float32),
         ],
         interpret=interpret,
     )(dy_t, mask_t, gates, c_prev_seq, r_prev_seq, w_r_t, w_rm_t,
       peep, d_final_c, d_final_r)
+
+    # hoisted weight/peephole gradients: one big reduction over T*S
+    # each instead of T sequential rank-blk updates inside the kernel
+    def mm2(a, b):
+        if mxu_bf16:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jnp.einsum("tsa,tsb->ab", a, b,
+                          preferred_element_type=jnp.float32)
+
+    dwr = mm2(r_prev_seq, dxg)                 # [P, 4C]
+    gf32 = gates.astype(jnp.float32)
+    o_seq = gf32[..., 3 * C:]
+    c_seq = cs.astype(jnp.float32)
+    m_seq = o_seq * jnp.tanh(c_seq)
+    dwrm = mm2(m_seq, drnew)                   # [C, P]
+    dxg32 = dxg.astype(jnp.float32)
+    cprev32 = c_prev_seq.astype(jnp.float32)
+    di_lin = dxg32[..., C:2 * C]
+    df_lin = dxg32[..., 2 * C:3 * C]
+    do_lin = dxg32[..., 3 * C:]
+    dpeep = jnp.stack([
+        jnp.sum(di_lin * cprev32, axis=(0, 1)),
+        jnp.sum(df_lin * cprev32, axis=(0, 1)),
+        jnp.sum(do_lin * c_seq, axis=(0, 1)),
+    ])
     return jnp.swapaxes(dxg, 0, 1), dic, dir_, dwr, dwrm, dpeep
 
 
@@ -446,8 +461,11 @@ def _get_lstmp_core(cell_clip: float, interpret: bool,
         gates, cs, rs = _lstmp_train_fwd(
             xg, mask, w_r_t, w_rm_t, peep, init_c, init_r,
             cell_clip, interpret, store_bf16, mxu_bf16)
-        ys = jnp.swapaxes(rs, 0, 1) * mask[:, :, None]
-        return (ys, cs[-1], rs[-1]), (gates, cs, rs)
+        ys = jnp.swapaxes(rs, 0, 1) \
+            * mask[:, :, None].astype(rs.dtype)
+        final_c = cs[-1].astype(jnp.float32)
+        final_r = rs[-1].astype(jnp.float32)
+        return (ys, final_c, final_r), (gates, cs, rs)
 
     @jax.custom_vjp
     def core(xg, mask, w_gifo_r, w_r_m, peep, init_c, init_r):
@@ -465,17 +483,21 @@ def _get_lstmp_core(cell_clip: float, interpret: bool,
         dys, d_final_c, d_final_r = cotangents
         (mask, gates, cs, rs, w_gifo_r, w_r_m, peep,
          init_c, init_r) = res
-        c_prev_seq = jnp.concatenate([init_c[None], cs[:-1]], axis=0)
-        r_prev_seq = jnp.concatenate([init_r[None], rs[:-1]], axis=0)
+        act_dt = gates.dtype
+        c_prev_seq = jnp.concatenate(
+            [init_c[None].astype(act_dt), cs[:-1]], axis=0)
+        r_prev_seq = jnp.concatenate(
+            [init_r[None].astype(act_dt), rs[:-1]], axis=0)
         w_r_t = jnp.swapaxes(w_gifo_r, 0, 1)
         w_rm_t = jnp.swapaxes(w_r_m, 0, 1)
         dxg, dic, dir_, dwr, dwrm, dpeep = _lstmp_train_bwd(
-            dys, mask, gates, c_prev_seq, r_prev_seq, w_r_t, w_rm_t,
-            peep, d_final_c, d_final_r, cell_clip, interpret,
-            mxu_bf16)
+            dys, mask, gates, cs, c_prev_seq, r_prev_seq, w_r_t,
+            w_rm_t, peep, d_final_c, d_final_r, cell_clip, interpret,
+            mxu_bf16, store_bf16)
         d_w_gifo_r = jnp.swapaxes(dwr, 0, 1)   # [4C, P]
         d_w_r_m = jnp.swapaxes(dwrm, 0, 1)     # [P, C]
-        return (dxg, None, d_w_gifo_r, d_w_r_m, dpeep, dic, dir_)
+        return (dxg.astype(jnp.float32), None, d_w_gifo_r, d_w_r_m,
+                dpeep, dic, dir_)
 
     core.defvjp(fwd, bwd)
     return core
@@ -508,3 +530,406 @@ def lstmp_train_core(xg, mask, w_gifo_r, w_r_m, peepholes,
     if pad:
         ys, fc, fr = ys[:S], fc[:S], fr[:S]
     return ys, fc, fr
+
+
+# ---------------------------------------------------------------------------
+# fused bidirectional training core
+# ---------------------------------------------------------------------------
+#
+# A BLSTM layer's two directions are independent dependency chains; run
+# as two pallas calls they serialize (each grid step is a small matmul
+# followed by VPU elementwise on its result — MXU idles during the
+# elementwise and vice versa).  Fusing both directions into ONE kernel
+# gives the Mosaic scheduler two interleavable chains per grid step:
+# direction f at frame t and direction b at frame T-1-t (its reversed
+# traversal), so the MXU can run one direction's matmul while the VPU
+# chews the other's gates.  Time reversal is done by BlockSpec index
+# maps — no jnp.flip copies of the [T,S,4C] activations at all.
+# Requires bf16 activation storage (store_bf16) to fit VMEM at the
+# 128-stream block size.
+
+
+def _bilstmp_fwd_kernel(cell_clip: float, mxu_bf16: bool,
+                        xgf_ref, xgb_ref, mf_ref, mb_ref,
+                        w_r2_ref, w_rm2_ref, peep2_ref,
+                        init_c_ref, init_r_ref,
+                        gf_ref, gb_ref, csf_ref, csb_ref,
+                        rsf_ref, rsb_ref, fc_ref, fr_ref,
+                        cf_scr, rf_scr, cb_scr, rb_scr):
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        cf_scr[:] = init_c_ref[:]
+        rf_scr[:] = init_r_ref[:]
+        cb_scr[:] = jnp.zeros_like(cb_scr)
+        rb_scr[:] = jnp.zeros_like(rb_scr)
+
+    C = cf_scr.shape[1]
+
+    def step(xg, mask_t, c_prev, r_prev, d):
+        gates = xg.astype(jnp.float32) \
+            + _mm_k(r_prev, w_r2_ref[d], mxu_bf16)
+        gt = jnp.tanh(gates[:, :C])
+        i = jax.nn.sigmoid(gates[:, C:2 * C] + peep2_ref[d, 0] * c_prev)
+        f = jax.nn.sigmoid(gates[:, 2 * C:3 * C]
+                           + peep2_ref[d, 1] * c_prev)
+        c = f * c_prev + i * gt
+        if cell_clip > 0:
+            c = jnp.clip(c, -cell_clip, cell_clip)
+        o = jax.nn.sigmoid(gates[:, 3 * C:] + peep2_ref[d, 2] * c)
+        m = o * jnp.tanh(c)
+        r = _mm_k(m, w_rm2_ref[d], mxu_bf16)
+        c_new = mask_t * c + (1.0 - mask_t) * c_prev
+        r_new = mask_t * r + (1.0 - mask_t) * r_prev
+        return jnp.concatenate([gt, i, f, o], axis=1), c_new, r_new
+
+    mf = mf_ref[0][:, 0:1]
+    mb = mb_ref[0][:, 0:1]
+    gatesf, cf, rf = step(xgf_ref[0], mf, cf_scr[:], rf_scr[:], 0)
+    gatesb, cb, rb = step(xgb_ref[0], mb, cb_scr[:], rb_scr[:], 1)
+    cf_scr[:] = cf
+    rf_scr[:] = rf
+    cb_scr[:] = cb
+    rb_scr[:] = rb
+    gf_ref[0] = gatesf.astype(gf_ref.dtype)
+    gb_ref[0] = gatesb.astype(gb_ref.dtype)
+    csf_ref[0] = cf.astype(csf_ref.dtype)
+    csb_ref[0] = cb.astype(csb_ref.dtype)
+    rsf_ref[0] = rf.astype(rsf_ref.dtype)
+    rsb_ref[0] = rb.astype(rsb_ref.dtype)
+
+    @pl.when(t == T - 1)
+    def _():
+        fc_ref[:] = cf_scr[:]
+        fr_ref[:] = rf_scr[:]
+
+
+def _bilstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
+                        dyf_ref, dyb_ref, mf_ref, mb_ref,
+                        gf_ref, gb_ref, cpf_ref, cpb_ref,
+                        rpf_ref, rpb_ref,
+                        w_r2_ref, w_rm2_ref, peep2_ref,
+                        dfc_ref, dfr_ref,
+                        dxgf_ref, dxgb_ref, drnf_ref, drnb_ref,
+                        dic_ref, dir_ref,
+                        dcf_scr, drf_scr, dcb_scr, drb_scr):
+    p = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    @pl.when(p == 0)
+    def _():
+        dcf_scr[:] = dfc_ref[:]
+        drf_scr[:] = dfr_ref[:]
+        dcb_scr[:] = jnp.zeros_like(dcb_scr)
+        drb_scr[:] = jnp.zeros_like(drb_scr)
+
+    C = dcf_scr.shape[1]
+
+    def step(dy, mask_t, gates, c_prev, dc_carry, dr_carry, d):
+        gates = gates.astype(jnp.float32)
+        gt = gates[:, :C]
+        i = gates[:, C:2 * C]
+        f = gates[:, 2 * C:3 * C]
+        o = gates[:, 3 * C:]
+        cu = f * c_prev + i * gt
+        c = jnp.clip(cu, -cell_clip, cell_clip) if cell_clip > 0 else cu
+        tanh_c = jnp.tanh(c)
+        dR_after = dy.astype(jnp.float32) * mask_t + dr_carry
+        dr_new = mask_t * dR_after
+        dr_prev = (1.0 - mask_t) * dR_after
+        dc_new = mask_t * dc_carry
+        dc_prev_skip = (1.0 - mask_t) * dc_carry
+        dm = _mm_k(dr_new, w_rm2_ref[d].T, mxu_bf16)
+        do = dm * tanh_c
+        dc = dc_new + dm * o * (1.0 - tanh_c * tanh_c)
+        do_lin = do * o * (1.0 - o)
+        dc = dc + do_lin * peep2_ref[d, 2]
+        if cell_clip > 0:
+            dcu = dc * (jnp.abs(cu) < cell_clip).astype(jnp.float32)
+        else:
+            dcu = dc
+        di_lin = dcu * gt * i * (1.0 - i)
+        df_lin = dcu * c_prev * f * (1.0 - f)
+        dg_lin = dcu * i * (1.0 - gt * gt)
+        dc_prev = dcu * f + di_lin * peep2_ref[d, 0] \
+            + df_lin * peep2_ref[d, 1] + dc_prev_skip
+        dgates = jnp.concatenate([dg_lin, di_lin, df_lin, do_lin],
+                                 axis=1)
+        dr_prev = dr_prev + _mm_k(dgates, w_r2_ref[d].T, mxu_bf16)
+        return dgates, dr_new, dc_prev, dr_prev
+
+    mf = mf_ref[0][:, 0:1]
+    mb = mb_ref[0][:, 0:1]
+    dgf, drnf, dcf, drf = step(
+        dyf_ref[0], mf, gf_ref[0], cpf_ref[0].astype(jnp.float32),
+        dcf_scr[:], drf_scr[:], 0)
+    dgb, drnb, dcb, drb = step(
+        dyb_ref[0], mb, gb_ref[0], cpb_ref[0].astype(jnp.float32),
+        dcb_scr[:], drb_scr[:], 1)
+    dcf_scr[:] = dcf
+    drf_scr[:] = drf
+    dcb_scr[:] = dcb
+    drb_scr[:] = drb
+    dxgf_ref[0] = dgf.astype(dxgf_ref.dtype)
+    dxgb_ref[0] = dgb.astype(dxgb_ref.dtype)
+    drnf_ref[0] = drnf.astype(drnf_ref.dtype)
+    drnb_ref[0] = drnb.astype(drnb_ref.dtype)
+
+    @pl.when(p == T - 1)
+    def _():
+        dic_ref[:] = dcf_scr[:]
+        dir_ref[:] = drf_scr[:]
+
+
+def _fwd_idx(shape):
+    return pl.BlockSpec((1,) + shape, lambda s, t: (t, s, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rev_idx(shape, T):
+    return pl.BlockSpec((1,) + shape, lambda s, t: (T - 1 - t, s, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _resident3(shape):
+    return pl.BlockSpec(shape, lambda s, t: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnames=("cell_clip", "interpret",
+                                   "store_bf16", "mxu_bf16"))
+def _bilstmp_train_fwd(xgf, xgb, mask, w_r2, w_rm2, peep2,
+                       init_c, init_r, cell_clip, interpret,
+                       store_bf16=True, mxu_bf16=True):
+    S, T, G = xgf.shape
+    C = G // 4
+    P = w_r2.shape[1]
+    blk = min(S, S_BLK)
+    assert S % blk == 0
+    nS = S // blk
+    act_dt = jnp.bfloat16 if store_bf16 else jnp.float32
+    xgf_t = jnp.swapaxes(xgf, 0, 1).astype(act_dt)
+    xgb_t = jnp.swapaxes(xgb, 0, 1).astype(act_dt)
+    mask_t = jnp.broadcast_to(
+        jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
+    outs = pl.pallas_call(
+        partial(_bilstmp_fwd_kernel, cell_clip, mxu_bf16),
+        grid=(nS, T),
+        in_specs=[
+            _fwd_idx((blk, G)), _rev_idx((blk, G), T),
+            _fwd_idx((blk, 128)), _rev_idx((blk, 128), T),
+            _resident3((2, P, G)), _resident3((2, C, P)),
+            _resident3((2, 3, C)),
+            _per_block((blk, C)), _per_block((blk, P)),
+        ],
+        out_specs=[
+            _fwd_idx((blk, G)), _rev_idx((blk, G), T),
+            _fwd_idx((blk, C)), _rev_idx((blk, C), T),
+            _fwd_idx((blk, P)), _rev_idx((blk, P), T),
+            _per_block((blk, C)), _per_block((blk, P)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, G), act_dt),
+            jax.ShapeDtypeStruct((T, S, G), act_dt),
+            jax.ShapeDtypeStruct((T, S, C), act_dt),
+            jax.ShapeDtypeStruct((T, S, C), act_dt),
+            jax.ShapeDtypeStruct((T, S, P), act_dt),
+            jax.ShapeDtypeStruct((T, S, P), act_dt),
+            jax.ShapeDtypeStruct((S, C), jnp.float32),
+            jax.ShapeDtypeStruct((S, P), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xgf_t, xgb_t, mask_t, mask_t, w_r2, w_rm2, peep2,
+      init_c, init_r)
+    return outs
+
+
+@partial(jax.jit, static_argnames=("cell_clip", "interpret",
+                                   "store_bf16", "mxu_bf16"))
+def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb, csf, csb,
+                       cpf, cpb, rpf, rpb, w_r2, w_rm2, peep2,
+                       d_final_c, d_final_r, cell_clip, interpret,
+                       store_bf16=True, mxu_bf16=True):
+    T, S, G = gf.shape
+    C = G // 4
+    P = w_r2.shape[1]
+    blk = min(S, S_BLK)
+    nS = S // blk
+    act_dt = jnp.bfloat16 if store_bf16 else jnp.float32
+    dyf_t = jnp.swapaxes(dyf, 0, 1).astype(act_dt)
+    dyb_t = jnp.swapaxes(dyb, 0, 1).astype(act_dt)
+    mask_t = jnp.broadcast_to(
+        jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
+    dxgf, dxgb, drnf, drnb, dic, dir_ = pl.pallas_call(
+        partial(_bilstmp_bwd_kernel, cell_clip, mxu_bf16),
+        grid=(nS, T),
+        in_specs=[
+            _rev_idx((blk, P), T), _fwd_idx((blk, P)),
+            _rev_idx((blk, 128), T), _fwd_idx((blk, 128)),
+            _rev_idx((blk, G), T), _fwd_idx((blk, G)),
+            _rev_idx((blk, C), T), _fwd_idx((blk, C)),
+            _rev_idx((blk, P), T), _fwd_idx((blk, P)),
+            _resident3((2, P, G)), _resident3((2, C, P)),
+            _resident3((2, 3, C)),
+            _per_block((blk, C)), _per_block((blk, P)),
+        ],
+        out_specs=[
+            _rev_idx((blk, G), T), _fwd_idx((blk, G)),
+            _rev_idx((blk, P), T), _fwd_idx((blk, P)),
+            _per_block((blk, C)), _per_block((blk, P)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, G), act_dt),
+            jax.ShapeDtypeStruct((T, S, G), act_dt),
+            jax.ShapeDtypeStruct((T, S, P), act_dt),
+            jax.ShapeDtypeStruct((T, S, P), act_dt),
+            jax.ShapeDtypeStruct((S, C), jnp.float32),
+            jax.ShapeDtypeStruct((S, P), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dyf_t, dyb_t, mask_t, mask_t, gf, gb, cpf, cpb, rpf, rpb,
+      w_r2, w_rm2, peep2, d_final_c, d_final_r)
+
+    def mm2(a, b):
+        if mxu_bf16:
+            a = a.astype(jnp.bfloat16)
+            b = b.astype(jnp.bfloat16)
+        return jnp.einsum("tsa,tsb->ab", a, b,
+                          preferred_element_type=jnp.float32)
+
+    def wgrads(dxg, drnew, cs, cp, rp, d):
+        dwr = mm2(rp, dxg)                      # [P, 4C]
+        gseq = (gf if d == 0 else gb).astype(jnp.float32)
+        o_seq = gseq[..., 3 * C:]
+        c_seq = cs.astype(jnp.float32)
+        m_seq = o_seq * jnp.tanh(c_seq)
+        dwrm = mm2(m_seq, drnew)                # [C, P]
+        dxg32 = dxg.astype(jnp.float32)
+        cp32 = cp.astype(jnp.float32)
+        dpeep = jnp.stack([
+            jnp.sum(dxg32[..., C:2 * C] * cp32, axis=(0, 1)),
+            jnp.sum(dxg32[..., 2 * C:3 * C] * cp32, axis=(0, 1)),
+            jnp.sum(dxg32[..., 3 * C:] * c_seq, axis=(0, 1)),
+        ])
+        return dwr, dwrm, dpeep
+
+    dwrf, dwrmf, dpeepf = wgrads(dxgf, drnf, csf, cpf, rpf, 0)
+    dwrb, dwrmb, dpeepb = wgrads(dxgb, drnb, csb, cpb, rpb, 1)
+    return (jnp.swapaxes(dxgf, 0, 1), jnp.swapaxes(dxgb, 0, 1),
+            dic, dir_,
+            jnp.stack([dwrf, dwrb]), jnp.stack([dwrmf, dwrmb]),
+            jnp.stack([dpeepf, dpeepb]))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_bilstmp_core(cell_clip: float, interpret: bool,
+                      store_bf16: bool = True, mxu_bf16: bool = True):
+    """Custom-VJP fused bidirectional LSTMP core.
+
+    core(xgf, xgb, mask, w_r2 [2,P,4C]→stored as [2,P,G], w_rm2
+    [2,C,P], peep2 [2,3,C], init_c, init_r) →
+    (ysf [S,T,P], ysb [S,T,P], final_c, final_r); direction b always
+    starts from zero state (see _Bidirectional.init_state)."""
+
+    def _forward(xgf, xgb, mask, w_r2, w_rm2, peep2, init_c, init_r):
+        (gatesf, gatesb, csf, csb, rsf, rsb, fc, fr) = \
+            _bilstmp_train_fwd(
+                xgf, xgb, mask, w_r2, w_rm2, peep2, init_c, init_r,
+                cell_clip, interpret, store_bf16, mxu_bf16)
+        mask_e = mask[:, :, None].astype(rsf.dtype)
+        ysf = jnp.swapaxes(rsf, 0, 1) * mask_e
+        ysb = jnp.swapaxes(rsb, 0, 1) * mask_e
+        res = (mask, gatesf, gatesb, csf, csb, rsf, rsb,
+               w_r2, w_rm2, peep2, init_c, init_r)
+        return (ysf, ysb, fc, fr), res
+
+    @jax.custom_vjp
+    def core(xgf, xgb, mask, w_r2, w_rm2, peep2, init_c, init_r):
+        out, _ = _forward(xgf, xgb, mask, w_r2, w_rm2, peep2,
+                          init_c, init_r)
+        return out
+
+    def fwd(xgf, xgb, mask, w_r2, w_rm2, peep2, init_c, init_r):
+        return _forward(xgf, xgb, mask, w_r2, w_rm2, peep2,
+                        init_c, init_r)
+
+    def bwd(res, cots):
+        dysf, dysb, d_final_c, d_final_r = cots
+        (mask, gatesf, gatesb, csf, csb, rsf, rsb,
+         w_r2, w_rm2, peep2, init_c, init_r) = res
+        act_dt = gatesf.dtype
+        # direction f: prev state at frame t is state after t-1
+        cpf = jnp.concatenate(
+            [init_c[None].astype(act_dt), csf[:-1]], axis=0)
+        rpf = jnp.concatenate(
+            [init_r[None].astype(act_dt), rsf[:-1]], axis=0)
+        # direction b walks T-1→0: prev state at frame t is state
+        # after frame t+1 (zero-init at t = T-1)
+        zc = jnp.zeros_like(csb[:1])
+        zr = jnp.zeros_like(rsb[:1])
+        cpb = jnp.concatenate([csb[1:], zc], axis=0)
+        rpb = jnp.concatenate([rsb[1:], zr], axis=0)
+        (dxgf, dxgb, dic, dir_, dwr2, dwrm2, dpeep2) = \
+            _bilstmp_train_bwd(
+                dysf, dysb, mask, gatesf, gatesb, csf, csb,
+                cpf, cpb, rpf, rpb, w_r2, w_rm2, peep2,
+                d_final_c, d_final_r, cell_clip, interpret,
+                store_bf16, mxu_bf16)
+        return (dxgf.astype(jnp.float32), dxgb.astype(jnp.float32),
+                None, dwr2, dwrm2, dpeep2, dic, dir_)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def bilstmp_train_core(xgf, xgb, mask, wf_gifo_r, wf_r_m, peep_f,
+                       wb_gifo_r, wb_r_m, peep_b, init_c, init_r,
+                       cell_clip: float = 50.0, interpret: bool = False,
+                       store_bf16: bool = True, mxu_bf16: bool = True):
+    """Fused bidirectional LSTMP training core.
+
+    Returns (ysf, ysb [S,T,P], final_c, final_r) — direction b output
+    already in natural time order (equals flip(cell(flip(x)))).
+    Weight gradients flow to the per-direction weights."""
+    S = xgf.shape[0]
+    blk = min(S, S_BLK)
+    pad = (-S) % blk
+    if pad:
+        def padS(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        xgf, xgb, mask = padS(xgf), padS(xgb), padS(mask)
+        init_c, init_r = padS(init_c), padS(init_r)
+    core = _get_bilstmp_core(float(cell_clip), bool(interpret),
+                             bool(store_bf16), bool(mxu_bf16))
+    w_r2 = jnp.stack([jnp.swapaxes(wf_gifo_r, 0, 1),
+                      jnp.swapaxes(wb_gifo_r, 0, 1)])   # [2, P, 4C]
+    w_rm2 = jnp.stack([jnp.swapaxes(wf_r_m, 0, 1),
+                       jnp.swapaxes(wb_r_m, 0, 1)])     # [2, C, P]
+    peep2 = jnp.stack([peep_f, peep_b])
+
+    # differentiate through the stacking so grads land on the
+    # per-direction parameter leaves
+    def run(xgf, xgb, w_r2, w_rm2, peep2, init_c, init_r):
+        return core(xgf, xgb, mask, w_r2, w_rm2, peep2,
+                    init_c, init_r)
+
+    ysf, ysb, fc, fr = run(xgf, xgb, w_r2, w_rm2, peep2,
+                           init_c, init_r)
+    if pad:
+        ysf, ysb, fc, fr = ysf[:S], ysb[:S], fc[:S], fr[:S]
+    return ysf, ysb, fc, fr

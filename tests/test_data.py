@@ -130,3 +130,21 @@ def test_ctc_batcher_drops_unalignable(rng):
     batches = list(batcher)
     assert batcher.num_dropped == 1
     assert batches[0].keys == ["good"]
+
+
+def test_device_prefetcher_order_and_errors():
+    from kaldi_aslp_tpu.data.prefetch import DevicePrefetcher
+
+    out = list(DevicePrefetcher(range(10), depth=3,
+                                transform=lambda x: x * 2))
+    assert out == [2 * i for i in range(10)]
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    it = DevicePrefetcher(bad())
+    assert next(it) == 1
+    import pytest
+    with pytest.raises(ValueError, match="boom"):
+        next(it)

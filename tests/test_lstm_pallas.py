@@ -111,3 +111,98 @@ def test_train_core_stream_padding(rng):
             jnp.zeros((S, C)), jnp.zeros((S, P)), interpret=True)
         assert ys.shape == (S, T, P)
         assert fc.shape == (S, C) and fr.shape == (S, P)
+
+
+def test_train_core_bf16_storage_grads(rng):
+    """store_bf16 path (bf16 gates/state storage + hoisted weight-grad
+    einsums) stays within bf16-rounding tolerance of the f32 scan."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu.models.recurrent import LstmProjectedStreams
+    from kaldi_aslp_tpu.ops.lstm_pallas import lstmp_train_core
+
+    S, T, D, C, P = 8, 12, 16, 128, 128
+    comp = LstmProjectedStreams(D, P, cell_dim=C, pallas=False)
+    params = comp.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.randn(S, T, D).astype(np.float32))
+    mask = np.ones((S, T), np.float32)
+    mask[2, 7:] = 0
+    mask = jnp.asarray(mask)
+    state = {"c": jnp.zeros((S, C), jnp.float32),
+             "r": jnp.zeros((S, P), jnp.float32)}
+    w_out = jnp.asarray(rng.randn(S, T, P).astype(np.float32))
+
+    def scan_loss(p):
+        ys, _ = comp.apply(p, x, state=state, train=True, mask=mask)
+        return jnp.sum(ys * w_out)
+
+    def pallas_loss(p):
+        xg = jnp.einsum("std,gd->stg", x, p["w_gifo_x"]) + p["bias"]
+        peep = jnp.stack([p["peephole_i_c"], p["peephole_f_c"],
+                          p["peephole_o_c"]])
+        ys, fc, fr = lstmp_train_core(
+            xg, mask, p["w_gifo_r"], p["w_r_m"], peep,
+            state["c"], state["r"], cell_clip=50.0, interpret=True,
+            store_bf16=True)
+        return jnp.sum(ys.astype(jnp.float32) * w_out)
+
+    l1, g1 = jax.value_and_grad(scan_loss)(params)
+    l2, g2 = jax.value_and_grad(pallas_loss)(params)
+    assert float(jnp.abs(l1 - l2)) / max(abs(float(l1)), 1.0) < 2e-2
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        denom = np.abs(a).max() + 1e-3
+        assert np.abs(a - b).max() / denom < 5e-2, k
+
+
+def test_bilstmp_fused_core_matches_generic(rng):
+    """The fused bidirectional core (both directions in one grid step,
+    reversed-time BlockSpec indexing) matches the generic two-call
+    BLSTM path to bf16-storage tolerance, values AND grads."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu.models.recurrent import BLstmProjectedStreams
+    from kaldi_aslp_tpu.ops.lstm_pallas import bilstmp_train_core
+
+    S, T, D, C, P = 8, 10, 12, 128, 128
+    comp = BLstmProjectedStreams(D, 2 * P, cell_dim=C, pallas=False)
+    params = comp.init_params(jax.random.PRNGKey(3))
+    x = jnp.asarray(rng.randn(S, T, D).astype(np.float32))
+    mask = np.ones((S, T), np.float32)
+    mask[1, 6:] = 0
+    mask[4, 3:] = 0
+    mask = jnp.asarray(mask)
+    state = comp.init_state(S)
+    w_out = jnp.asarray(rng.randn(S, T, 2 * P).astype(np.float32))
+    wc = jnp.asarray(rng.randn(S, C).astype(np.float32))
+
+    def generic_loss(p):
+        ys, st = comp.apply(p, x, state=state, train=True, mask=mask)
+        return jnp.sum(ys * w_out) + jnp.sum(st["fwd"]["c"] * wc)
+
+    def fused_loss(p):
+        pf, pb = p["fwd"], p["bwd"]
+        xgf = jnp.einsum("std,gd->stg", x, pf["w_gifo_x"]) + pf["bias"]
+        xgb = jnp.einsum("std,gd->stg", x, pb["w_gifo_x"]) + pb["bias"]
+        peep_f = jnp.stack([pf["peephole_i_c"], pf["peephole_f_c"],
+                            pf["peephole_o_c"]])
+        peep_b = jnp.stack([pb["peephole_i_c"], pb["peephole_f_c"],
+                            pb["peephole_o_c"]])
+        ysf, ysb, fc, fr = bilstmp_train_core(
+            xgf, xgb, mask, pf["w_gifo_r"], pf["w_r_m"], peep_f,
+            pb["w_gifo_r"], pb["w_r_m"], peep_b,
+            state["fwd"]["c"], state["fwd"]["r"],
+            interpret=True, store_bf16=True, mxu_bf16=False)
+        ys = jnp.concatenate([ysf, ysb], axis=-1).astype(jnp.float32)
+        return jnp.sum(ys * w_out) + jnp.sum(fc * wc)
+
+    l1, g1 = jax.value_and_grad(generic_loss)(params)
+    l2, g2 = jax.value_and_grad(fused_loss)(params)
+    assert abs(float(l1) - float(l2)) / max(abs(float(l1)), 1.0) < 2e-2
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    g2f = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, a in flat1:
+        b = g2f[path]
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-3
+        assert np.abs(a - b).max() / denom < 6e-2, path
