@@ -443,8 +443,10 @@ class _Bidirectional(Component):
 
         pf, pb = params["fwd"], params["bwd"]
         dt = self.fwd.compute_dtype
-        xgf = _einsum_stg(x, pf["w_gifo_x"], dt) + pf["bias"]
-        xgb = _einsum_stg(x, pb["w_gifo_x"], dt) + pb["bias"]
+        # bias is added inside the kernel; bf16 xg keeps the whole
+        # activation stream (cotangents included) at half width
+        xgf = _einsum_stg(x, pf["w_gifo_x"], dt).astype(jnp.bfloat16)
+        xgb = _einsum_stg(x, pb["w_gifo_x"], dt).astype(jnp.bfloat16)
         peep_f = jnp.stack([pf["peephole_i_c"], pf["peephole_f_c"],
                             pf["peephole_o_c"]])
         peep_b = jnp.stack([pb["peephole_i_c"], pb["peephole_f_c"],
@@ -454,6 +456,7 @@ class _Bidirectional(Component):
         ysf, ysb, fc, fr = bilstmp_train_core(
             xgf, xgb, mask, pf["w_gifo_r"], pf["w_r_m"], peep_f,
             pb["w_gifo_r"], pb["w_r_m"], peep_b,
+            pf["bias"], pb["bias"],
             state["fwd"]["c"], state["fwd"]["r"],
             cell_clip=self.fwd.cell_clip,
             interpret=jax.default_backend() == "cpu",

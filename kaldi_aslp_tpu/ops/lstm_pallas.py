@@ -551,7 +551,7 @@ def lstmp_train_core(xg, mask, w_gifo_r, w_r_m, peepholes,
 
 def _bilstmp_fwd_kernel(cell_clip: float, mxu_bf16: bool,
                         xgf_ref, xgb_ref, mf_ref, mb_ref,
-                        w_r2_ref, w_rm2_ref, peep2_ref,
+                        w_r2_ref, w_rm2_ref, peep2_ref, bias2_ref,
                         init_c_ref, init_r_ref,
                         gf_ref, gb_ref, csf_ref, csb_ref,
                         rsf_ref, rsb_ref, fc_ref, fr_ref,
@@ -569,7 +569,7 @@ def _bilstmp_fwd_kernel(cell_clip: float, mxu_bf16: bool,
     C = cf_scr.shape[1]
 
     def step(xg, mask_t, c_prev, r_prev, d):
-        gates = xg.astype(jnp.float32) \
+        gates = xg.astype(jnp.float32) + bias2_ref[d] \
             + _mm_k(r_prev, w_r2_ref[d], mxu_bf16)
         gt = jnp.tanh(gates[:, :C])
         i = jax.nn.sigmoid(gates[:, C:2 * C] + peep2_ref[d, 0] * c_prev)
@@ -613,10 +613,19 @@ def _bilstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
                         w_r2_ref, w_rm2_ref, peep2_ref,
                         dfc_ref, dfr_ref,
                         dxgf_ref, dxgb_ref, drnf_ref, drnb_ref,
-                        dic_ref, dir_ref,
-                        dcf_scr, drf_scr, dcb_scr, drb_scr):
+                        msf_ref, msb_ref,
+                        dic_ref, dir_ref, dbias2_ref, dpeep2_ref,
+                        dcf_scr, drf_scr, dcb_scr, drb_scr,
+                        dbias_scr, dpeep_scr):
+    sb = pl.program_id(0)
     p = pl.program_id(1)
+    nS = pl.num_programs(0)
     T = pl.num_programs(1)
+
+    @pl.when((sb == 0) & (p == 0))
+    def _():
+        dbias_scr[:] = jnp.zeros_like(dbias_scr)
+        dpeep_scr[:] = jnp.zeros_like(dpeep_scr)
 
     @pl.when(p == 0)
     def _():
@@ -636,6 +645,7 @@ def _bilstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
         cu = f * c_prev + i * gt
         c = jnp.clip(cu, -cell_clip, cell_clip) if cell_clip > 0 else cu
         tanh_c = jnp.tanh(c)
+        m = o * tanh_c
         dR_after = dy.astype(jnp.float32) * mask_t + dr_carry
         dr_new = mask_t * dR_after
         dr_prev = (1.0 - mask_t) * dR_after
@@ -658,14 +668,21 @@ def _bilstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
         dgates = jnp.concatenate([dg_lin, di_lin, df_lin, do_lin],
                                  axis=1)
         dr_prev = dr_prev + _mm_k(dgates, w_r2_ref[d].T, mxu_bf16)
-        return dgates, dr_new, dc_prev, dr_prev
+        # bias/peephole grads: tiny per-step row reductions, far
+        # cheaper in VMEM scratch than as post-hoc passes over the
+        # [T,S,*] activation streams (measured ~3.7 ms/layer outside)
+        dbias_scr[d, :] += jnp.sum(dgates, axis=0)
+        dpeep_scr[d, 0, :] += jnp.sum(di_lin * c_prev, axis=0)
+        dpeep_scr[d, 1, :] += jnp.sum(df_lin * c_prev, axis=0)
+        dpeep_scr[d, 2, :] += jnp.sum(do_lin * c, axis=0)
+        return dgates, dr_new, m, dc_prev, dr_prev
 
     mf = mf_ref[0][:, 0:1]
     mb = mb_ref[0][:, 0:1]
-    dgf, drnf, dcf, drf = step(
+    dgf, drnf, m_f, dcf, drf = step(
         dyf_ref[0], mf, gf_ref[0], cpf_ref[0].astype(jnp.float32),
         dcf_scr[:], drf_scr[:], 0)
-    dgb, drnb, dcb, drb = step(
+    dgb, drnb, m_b, dcb, drb = step(
         dyb_ref[0], mb, gb_ref[0], cpb_ref[0].astype(jnp.float32),
         dcb_scr[:], drb_scr[:], 1)
     dcf_scr[:] = dcf
@@ -676,11 +693,18 @@ def _bilstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
     dxgb_ref[0] = dgb.astype(dxgb_ref.dtype)
     drnf_ref[0] = drnf.astype(drnf_ref.dtype)
     drnb_ref[0] = drnb.astype(drnb_ref.dtype)
+    msf_ref[0] = m_f.astype(msf_ref.dtype)
+    msb_ref[0] = m_b.astype(msb_ref.dtype)
 
     @pl.when(p == T - 1)
     def _():
         dic_ref[:] = dcf_scr[:]
         dir_ref[:] = drf_scr[:]
+
+    @pl.when((sb == nS - 1) & (p == T - 1))
+    def _():
+        dbias2_ref[:] = dbias_scr[:]
+        dpeep2_ref[:] = dpeep_scr[:]
 
 
 def _fwd_idx(shape):
@@ -700,7 +724,7 @@ def _resident3(shape):
 
 @partial(jax.jit, static_argnames=("cell_clip", "interpret",
                                    "store_bf16", "mxu_bf16"))
-def _bilstmp_train_fwd(xgf, xgb, mask, w_r2, w_rm2, peep2,
+def _bilstmp_train_fwd(xgf, xgb, mask, w_r2, w_rm2, peep2, bias2,
                        init_c, init_r, cell_clip, interpret,
                        store_bf16=True, mxu_bf16=True):
     S, T, G = xgf.shape
@@ -721,7 +745,7 @@ def _bilstmp_train_fwd(xgf, xgb, mask, w_r2, w_rm2, peep2,
             _fwd_idx((blk, G)), _rev_idx((blk, G), T),
             _fwd_idx((blk, 128)), _rev_idx((blk, 128), T),
             _resident3((2, P, G)), _resident3((2, C, P)),
-            _resident3((2, 3, C)),
+            _resident3((2, 3, C)), _resident3((2, G)),
             _per_block((blk, C)), _per_block((blk, P)),
         ],
         out_specs=[
@@ -747,14 +771,14 @@ def _bilstmp_train_fwd(xgf, xgb, mask, w_r2, w_rm2, peep2,
             pltpu.VMEM((blk, P), jnp.float32),
         ],
         interpret=interpret,
-    )(xgf_t, xgb_t, mask_t, mask_t, w_r2, w_rm2, peep2,
+    )(xgf_t, xgb_t, mask_t, mask_t, w_r2, w_rm2, peep2, bias2,
       init_c, init_r)
     return outs
 
 
 @partial(jax.jit, static_argnames=("cell_clip", "interpret",
                                    "store_bf16", "mxu_bf16"))
-def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb, csf, csb,
+def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb,
                        cpf, cpb, rpf, rpb, w_r2, w_rm2, peep2,
                        d_final_c, d_final_r, cell_clip, interpret,
                        store_bf16=True, mxu_bf16=True):
@@ -768,7 +792,8 @@ def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb, csf, csb,
     dyb_t = jnp.swapaxes(dyb, 0, 1).astype(act_dt)
     mask_t = jnp.broadcast_to(
         jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
-    dxgf, dxgb, drnf, drnb, dic, dir_ = pl.pallas_call(
+    (dxgf, dxgb, drnf, drnb, msf, msb, dic, dir_, dbias2,
+     dpeep2) = pl.pallas_call(
         partial(_bilstmp_bwd_kernel, cell_clip, mxu_bf16),
         grid=(nS, T),
         in_specs=[
@@ -784,26 +809,36 @@ def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb, csf, csb,
         out_specs=[
             _rev_idx((blk, G), T), _fwd_idx((blk, G)),
             _rev_idx((blk, P), T), _fwd_idx((blk, P)),
+            _rev_idx((blk, C), T), _fwd_idx((blk, C)),
             _per_block((blk, C)), _per_block((blk, P)),
+            _resident3((2, G)), _resident3((2, 3, C)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, S, G), act_dt),
             jax.ShapeDtypeStruct((T, S, G), act_dt),
             jax.ShapeDtypeStruct((T, S, P), act_dt),
             jax.ShapeDtypeStruct((T, S, P), act_dt),
+            jax.ShapeDtypeStruct((T, S, C), act_dt),
+            jax.ShapeDtypeStruct((T, S, C), act_dt),
             jax.ShapeDtypeStruct((S, C), jnp.float32),
             jax.ShapeDtypeStruct((S, P), jnp.float32),
+            jax.ShapeDtypeStruct((2, G), jnp.float32),
+            jax.ShapeDtypeStruct((2, 3, C), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((blk, C), jnp.float32),
             pltpu.VMEM((blk, P), jnp.float32),
             pltpu.VMEM((blk, C), jnp.float32),
             pltpu.VMEM((blk, P), jnp.float32),
+            pltpu.VMEM((2, G), jnp.float32),
+            pltpu.VMEM((2, 3, C), jnp.float32),
         ],
         interpret=interpret,
     )(dyf_t, dyb_t, mask_t, mask_t, gf, gb, cpf, cpb, rpf, rpb,
       w_r2, w_rm2, peep2, d_final_c, d_final_r)
 
+    # the only remaining off-kernel reductions: two clean bf16 MXU
+    # einsums per direction over the emitted streams
     def mm2(a, b):
         if mxu_bf16:
             a = a.astype(jnp.bfloat16)
@@ -811,28 +846,14 @@ def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb, csf, csb,
         return jnp.einsum("tsa,tsb->ab", a, b,
                           preferred_element_type=jnp.float32)
 
-    def wgrads(dxg, drnew, cs, cp, rp, d):
-        dwr = mm2(rp, dxg)                      # [P, 4C]
-        gseq = (gf if d == 0 else gb).astype(jnp.float32)
-        o_seq = gseq[..., 3 * C:]
-        c_seq = cs.astype(jnp.float32)
-        m_seq = o_seq * jnp.tanh(c_seq)
-        dwrm = mm2(m_seq, drnew)                # [C, P]
-        dxg32 = dxg.astype(jnp.float32)
-        cp32 = cp.astype(jnp.float32)
-        dpeep = jnp.stack([
-            jnp.sum(dxg32[..., C:2 * C] * cp32, axis=(0, 1)),
-            jnp.sum(dxg32[..., 2 * C:3 * C] * cp32, axis=(0, 1)),
-            jnp.sum(dxg32[..., 3 * C:] * c_seq, axis=(0, 1)),
-        ])
-        return dwr, dwrm, dpeep
-
-    dwrf, dwrmf, dpeepf = wgrads(dxgf, drnf, csf, cpf, rpf, 0)
-    dwrb, dwrmb, dpeepb = wgrads(dxgb, drnb, csb, cpb, rpb, 1)
+    dwrf = mm2(rpf, dxgf)                       # [P, 4C]
+    dwrb = mm2(rpb, dxgb)
+    dwrmf = mm2(msf, drnf)                      # [C, P]
+    dwrmb = mm2(msb, drnb)
     return (jnp.swapaxes(dxgf, 0, 1), jnp.swapaxes(dxgb, 0, 1),
             dic, dir_,
             jnp.stack([dwrf, dwrb]), jnp.stack([dwrmf, dwrmb]),
-            jnp.stack([dpeepf, dpeepb]))
+            dpeep2, dbias2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -840,15 +861,20 @@ def _get_bilstmp_core(cell_clip: float, interpret: bool,
                       store_bf16: bool = True, mxu_bf16: bool = True):
     """Custom-VJP fused bidirectional LSTMP core.
 
-    core(xgf, xgb, mask, w_r2 [2,P,4C]→stored as [2,P,G], w_rm2
-    [2,C,P], peep2 [2,3,C], init_c, init_r) →
+    core(xgf, xgb, mask, w_r2 [2,P,4C], w_rm2 [2,C,P], peep2 [2,3,C],
+    bias2 [2,4C], init_c, init_r) →
     (ysf [S,T,P], ysb [S,T,P], final_c, final_r); direction b always
-    starts from zero state (see _Bidirectional.init_state)."""
+    starts from zero state (see _Bidirectional.init_state).  Bias is
+    added INSIDE the kernel and its gradient accumulated there, so the
+    xg inputs/cotangents can stay bf16 end-to-end (no f32 [S,T,4C]
+    materializations at the autodiff boundary)."""
 
-    def _forward(xgf, xgb, mask, w_r2, w_rm2, peep2, init_c, init_r):
+    def _forward(xgf, xgb, mask, w_r2, w_rm2, peep2, bias2,
+                 init_c, init_r):
         (gatesf, gatesb, csf, csb, rsf, rsb, fc, fr) = \
             _bilstmp_train_fwd(
-                xgf, xgb, mask, w_r2, w_rm2, peep2, init_c, init_r,
+                xgf, xgb, mask, w_r2, w_rm2, peep2, bias2,
+                init_c, init_r,
                 cell_clip, interpret, store_bf16, mxu_bf16)
         mask_e = mask[:, :, None].astype(rsf.dtype)
         ysf = jnp.swapaxes(rsf, 0, 1) * mask_e
@@ -858,13 +884,15 @@ def _get_bilstmp_core(cell_clip: float, interpret: bool,
         return (ysf, ysb, fc, fr), res
 
     @jax.custom_vjp
-    def core(xgf, xgb, mask, w_r2, w_rm2, peep2, init_c, init_r):
-        out, _ = _forward(xgf, xgb, mask, w_r2, w_rm2, peep2,
+    def core(xgf, xgb, mask, w_r2, w_rm2, peep2, bias2,
+             init_c, init_r):
+        out, _ = _forward(xgf, xgb, mask, w_r2, w_rm2, peep2, bias2,
                           init_c, init_r)
         return out
 
-    def fwd(xgf, xgb, mask, w_r2, w_rm2, peep2, init_c, init_r):
-        return _forward(xgf, xgb, mask, w_r2, w_rm2, peep2,
+    def fwd(xgf, xgb, mask, w_r2, w_rm2, peep2, bias2,
+            init_c, init_r):
+        return _forward(xgf, xgb, mask, w_r2, w_rm2, peep2, bias2,
                         init_c, init_r)
 
     def bwd(res, cots):
@@ -883,31 +911,40 @@ def _get_bilstmp_core(cell_clip: float, interpret: bool,
         zr = jnp.zeros_like(rsb[:1])
         cpb = jnp.concatenate([csb[1:], zc], axis=0)
         rpb = jnp.concatenate([rsb[1:], zr], axis=0)
-        (dxgf, dxgb, dic, dir_, dwr2, dwrm2, dpeep2) = \
+        (dxgf, dxgb, dic, dir_, dwr2, dwrm2, dpeep2, dbias2) = \
             _bilstmp_train_bwd(
-                dysf, dysb, mask, gatesf, gatesb, csf, csb,
+                dysf, dysb, mask, gatesf, gatesb,
                 cpf, cpb, rpf, rpb, w_r2, w_rm2, peep2,
                 d_final_c, d_final_r, cell_clip, interpret,
                 store_bf16, mxu_bf16)
-        return (dxgf.astype(jnp.float32), dxgb.astype(jnp.float32),
-                None, dwr2, dwrm2, dpeep2, dic, dir_)
+        act = jnp.bfloat16 if store_bf16 else jnp.float32
+        return (dxgf.astype(act), dxgb.astype(act),
+                None, dwr2, dwrm2, dpeep2, dbias2, dic, dir_)
 
     core.defvjp(fwd, bwd)
     return core
 
 
 def bilstmp_train_core(xgf, xgb, mask, wf_gifo_r, wf_r_m, peep_f,
-                       wb_gifo_r, wb_r_m, peep_b, init_c, init_r,
+                       wb_gifo_r, wb_r_m, peep_b, bias_f, bias_b,
+                       init_c, init_r,
                        cell_clip: float = 50.0, interpret: bool = False,
                        store_bf16: bool = True, mxu_bf16: bool = True):
     """Fused bidirectional LSTMP training core.
 
-    Returns (ysf, ysb [S,T,P], final_c, final_r) — direction b output
-    already in natural time order (equals flip(cell(flip(x)))).
-    Weight gradients flow to the per-direction weights."""
+    xgf/xgb are the BIAS-FREE input projections (bias is added inside
+    the kernel); pass them in bfloat16 to keep the whole activation
+    stream, cotangents included, at half width.  Returns
+    (ysf, ysb [S,T,P], final_c, final_r) — direction b output already
+    in natural time order (equals flip(cell(flip(x))))."""
     S = xgf.shape[0]
     blk = min(S, S_BLK)
     pad = (-S) % blk
+    # primal xg dtype is pinned by store_bf16 so the custom-VJP
+    # cotangent dtype is deterministic
+    act_dt = jnp.bfloat16 if store_bf16 else jnp.float32
+    xgf = xgf.astype(act_dt)
+    xgb = xgb.astype(act_dt)
     if pad:
         def padS(a):
             return jnp.concatenate(
@@ -921,15 +958,10 @@ def bilstmp_train_core(xgf, xgb, mask, wf_gifo_r, wf_r_m, peep_f,
     w_rm2 = jnp.stack([jnp.swapaxes(wf_r_m, 0, 1),
                        jnp.swapaxes(wb_r_m, 0, 1)])     # [2, C, P]
     peep2 = jnp.stack([peep_f, peep_b])
+    bias2 = jnp.stack([bias_f, bias_b])
 
-    # differentiate through the stacking so grads land on the
-    # per-direction parameter leaves
-    def run(xgf, xgb, w_r2, w_rm2, peep2, init_c, init_r):
-        return core(xgf, xgb, mask, w_r2, w_rm2, peep2,
-                    init_c, init_r)
-
-    ysf, ysb, fc, fr = run(xgf, xgb, w_r2, w_rm2, peep2,
-                           init_c, init_r)
+    ysf, ysb, fc, fr = core(xgf, xgb, mask, w_r2, w_rm2, peep2,
+                            bias2, init_c, init_r)
     if pad:
         ysf, ysb, fc, fr = ysf[:S], ysb[:S], fc[:S], fr[:S]
     return ysf, ysb, fc, fr

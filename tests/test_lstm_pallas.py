@@ -182,8 +182,8 @@ def test_bilstmp_fused_core_matches_generic(rng):
 
     def fused_loss(p):
         pf, pb = p["fwd"], p["bwd"]
-        xgf = jnp.einsum("std,gd->stg", x, pf["w_gifo_x"]) + pf["bias"]
-        xgb = jnp.einsum("std,gd->stg", x, pb["w_gifo_x"]) + pb["bias"]
+        xgf = jnp.einsum("std,gd->stg", x, pf["w_gifo_x"])
+        xgb = jnp.einsum("std,gd->stg", x, pb["w_gifo_x"])
         peep_f = jnp.stack([pf["peephole_i_c"], pf["peephole_f_c"],
                             pf["peephole_o_c"]])
         peep_b = jnp.stack([pb["peephole_i_c"], pb["peephole_f_c"],
@@ -191,6 +191,7 @@ def test_bilstmp_fused_core_matches_generic(rng):
         ysf, ysb, fc, fr = bilstmp_train_core(
             xgf, xgb, mask, pf["w_gifo_r"], pf["w_r_m"], peep_f,
             pb["w_gifo_r"], pb["w_r_m"], peep_b,
+            pf["bias"], pb["bias"],
             state["fwd"]["c"], state["fwd"]["r"],
             interpret=True, store_bf16=True, mxu_bf16=False)
         ys = jnp.concatenate([ysf, ysb], axis=-1).astype(jnp.float32)
