@@ -218,8 +218,7 @@ def bench_decode_rtf():
     g, lut, num_pdfs = synth_decode_graph()
     dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
                             acoustic_scale=1.0, beam=14.0,
-                            max_active=2048, arc_budget=32768,
-                            chunk=128)
+                            max_active=2048, chunk=128)
     rng = np.random.RandomState(1)
     T = 6000  # 60 s of audio
     ll = rng.uniform(-12.0, -10.0, size=(T, num_pdfs)).astype(np.float32)

@@ -74,7 +74,13 @@ class CsrGraph:
     @classmethod
     def from_packed(cls, g: PackedGraph) -> "CsrGraph":
         S = g.num_states
-        order = np.argsort(g.src, kind="stable")
+        # within each state's row, arcs are sorted by weight ascending:
+        # capping a state's expansion at K (max-active) is then EXACT —
+        # of a single source's candidates only its K cheapest can ever
+        # be among the K winners — which is what lets hub states (a
+        # word-loop start state has out-degree ≈ vocabulary) live with
+        # a small arc budget instead of forcing A ≈ max out-degree
+        order = np.lexsort((g.weight, g.src))
 
         def csr(mask):
             ids = order[mask[order]]
@@ -109,7 +115,7 @@ class CsrGraph:
 INVALID_DST = np.int32(2 ** 30)
 
 
-def _expand(states, row_ptr, budget: int):
+def _expand(states, row_ptr, budget: int, cap: int = 0):
     """Enumerate the out-arcs of the frontier into a fixed budget.
 
     Segment fill by scatter + cummax: write each frontier slot's id at
@@ -118,12 +124,24 @@ def _expand(states, row_ptr, budget: int):
     log2(K)-deep chain of [A]-sized gathers — 4.3 ms/frame on a v5e at
     A=32k vs 1.3 ms for this formulation.)
 
+    ``cap`` > 0 limits each state's expansion to its ``cap``
+    lowest-weight arcs (rows are weight-sorted, CsrGraph.from_packed).
+    For EPS arcs a cap of K is EXACT — an eps candidate's score is
+    source score minus arc weight, so only a source's K cheapest arcs
+    can be among the K winners.  Emitting arcs carry per-arc acoustic
+    terms, so the emitting stage passes cap=0 (degrees there are
+    self-loop + transitions — small; it is eps word-loop junctions
+    that fan out to vocabulary-sized degrees and would otherwise force
+    the arc budget up to the max out-degree).
+
     Returns (arc_pos [A] int32 absolute positions into the CSR arrays,
     slot [A] frontier slot each arc came from, valid [A] bool)."""
     K = states.shape[0]
     safe = jnp.maximum(states, 0)
     starts = row_ptr[safe]
     deg = jnp.where(states >= 0, row_ptr[safe + 1] - starts, 0)
+    if cap > 0:
+        deg = jnp.minimum(deg, cap)
     cum = jnp.cumsum(deg)                       # inclusive
     excl = cum - deg
     total = cum[-1]
@@ -222,7 +240,7 @@ def _beam_scan(
 
         # ---- eps stages: relax non-emitting arcs, merge with frontier
         for _ in range(eps_rounds):
-            arc_pos, slot, ok = _expand(st, ep_row_ptr, A)
+            arc_pos, slot, ok = _expand(st, ep_row_ptr, A, cap=K)
             erow = ep_pack[arc_pos]              # [A, 3] int32
             dst_e = erow[:, 0]
             w_e = jax.lax.bitcast_convert_type(erow[:, 1], jnp.float32)
@@ -313,7 +331,10 @@ class BeamSearchDecoder:
         self.acoustic_scale = float(acoustic_scale)
         self.beam = float(beam)
         self.K = int(max_active)
-        self.A = int(arc_budget or 8 * self.K)
+        # 4K default: per-state expansion is capped at K (exact, see
+        # CsrGraph), so the budget covers a frontier of avg degree 4;
+        # overflow drops the worst-scored tokens' arcs first
+        self.A = int(arc_budget or 4 * self.K)
         self.chunk = int(chunk)
         self._em_pdf = self.tid_to_pdf[graph.em_tid]
         # device-resident graph arrays; per-arc fields are packed into

@@ -202,3 +202,49 @@ def test_batched_beam_matches_single():
         assert w1 == w2
         np.testing.assert_array_equal(a1, a2)
         assert s1 == pytest.approx(s2, abs=1e-3)
+
+
+def test_hub_state_cap_exact():
+    """EPS expansion capped at max_active is EXACT when rows are
+    weight-sorted (CsrGraph.from_packed): an eps hub state (word-loop
+    junction) with out-degree far beyond the arc budget still finds
+    the true best path, because eps candidates score source - weight
+    with no per-arc acoustic term."""
+    rng = np.random.RandomState(5)
+    n_spokes = 200
+    npdf = 8
+    # hub (state 0) fans out to n_spokes chains of length 2, each with
+    # a distinct word olabel and random entry cost; chains rejoin hub
+    src, dst, il, ol, w = [], [], [], [], []
+    for k in range(n_spokes):
+        a = 1 + 2 * k
+        src += [0, a, a, a + 1, a + 1]
+        dst += [a, a, a + 1, a + 1, 0]
+        il += [0, 1 + (k % npdf), 1 + ((k + 3) % npdf),
+               1 + ((k + 5) % npdf), 0]
+        ol += [k + 1, 0, 0, 0, 0]
+        w += [float(rng.uniform(0.1, 9.0)), 0.7, 0.7, 0.7, 0.1]
+    S = 1 + 2 * n_spokes
+    final = np.full(S, np.inf, np.float32)
+    final[0] = 0.0
+    g = PackedGraph(
+        src=np.asarray(src, np.int32), dst=np.asarray(dst, np.int32),
+        ilabel=np.asarray(il, np.int32), olabel=np.asarray(ol, np.int32),
+        weight=np.asarray(w, np.float32), final=final, start=0,
+        num_states=S, eps_diameter=1)
+    lut = np.arange(-1, npdf, dtype=np.int32)
+    lut[0] = 0
+    T = 8
+    ll = rng.uniform(-6.0, -1.0, size=(T, npdf + 1)).astype(np.float32)
+
+    dense = ViterbiDecoder(g, lut, acoustic_scale=1.0)
+    words_d, ali_d, score_d = dense.decode(ll)
+
+    # K tiny vs hub degree; arc budget 4K = 64 << 200 hub arcs
+    beam = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                             acoustic_scale=1.0, beam=1e9,
+                             max_active=16, chunk=8)
+    words_b, ali_b, score_b = beam.decode(ll)
+    assert score_b == pytest.approx(score_d, rel=1e-5)
+    assert words_b == words_d
+    np.testing.assert_array_equal(ali_b, ali_d)
