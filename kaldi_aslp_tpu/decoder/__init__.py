@@ -17,7 +17,9 @@ from kaldi_aslp_tpu.decoder.compact import (
     StateLattice,
     compact_lattice_best_path,
     compact_lattice_lmrescore,
+    DeterminizeFailed,
     determinize_lattice,
+    determinize_lattice_pruned,
     lattice_to_state,
     scale_lattice,
     state_lattice_best_path,

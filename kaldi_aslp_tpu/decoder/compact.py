@@ -218,10 +218,32 @@ def _toposort_depth(slat: StateLattice):
 # determinization (reference: determinize-lattice-pruned.h)
 # ---------------------------------------------------------------------------
 
+class DeterminizeFailed(Exception):
+    """Raised when subset construction exceeds its work budget
+    (reference: DeterminizeLatticePruned returns false when max_mem is
+    exhausted, determinize-lattice-pruned.h)."""
+
+
 def determinize_lattice(lat: Lattice,
-                        prune: Optional[float] = None) -> CompactLattice:
+                        prune: Optional[float] = None,
+                        max_work: Optional[int] = None) -> CompactLattice:
     """One arc per word per det state; best alignment kept (reference:
-    DeterminizeLatticePruned semantics)."""
+    DeterminizeLatticePruned semantics).  ``max_work`` bounds total
+    closure expansions — the role of the reference's ``max_mem`` guard;
+    on overrun raises :class:`DeterminizeFailed` (callers retry with a
+    tighter ``prune`` or fall back to the raw lattice, exactly the
+    reference wrapper's strategy)."""
+    work_budget = [max_work if max_work is not None else -1]
+
+    def charge(n: int = 1):
+        if work_budget[0] < 0:
+            return
+        work_budget[0] -= n
+        if work_budget[0] < 0:
+            raise DeterminizeFailed(
+                "determinization exceeded work budget "
+                f"(max_work={max_work}); retry with smaller prune")
+
     # word-level adjacency over (t, state) nodes
     arcs_from: Dict[Tuple[int, int], List[LatticeArc]] = {}
     for a in lat.arcs:
@@ -240,6 +262,7 @@ def determinize_lattice(lat: Lattice,
         stack = list(elems)
         best_seen: Dict[Tuple, float] = {}
         while stack:
+            charge()
             node, pending, g, ac, tids = stack.pop()
             key = (node, pending, tids)
             tot = g + ac
@@ -312,6 +335,24 @@ def determinize_lattice(lat: Lattice,
             out_arcs.append(CompactLatticeArcT(
                 sid, nid, w, g0, ac0, tids0))
     return CompactLattice(len(ids), 0, out_arcs, finals)
+
+
+def determinize_lattice_pruned(lat: Lattice, prune: float,
+                               max_work: int = 2_000_000,
+                               retries: int = 3) -> CompactLattice:
+    """Determinize with a work budget, halving the prune beam on
+    overrun (reference: DeterminizeLatticeDeleteInputSymbols wrapper /
+    LatticeDeterminizerPruned retry-with-smaller-beam behaviour,
+    determinize-lattice-pruned.cc).  Raises DeterminizeFailed only if
+    every retry also overruns."""
+    err: Optional[DeterminizeFailed] = None
+    for _ in range(retries + 1):
+        try:
+            return determinize_lattice(lat, prune=prune, max_work=max_work)
+        except DeterminizeFailed as e:
+            err = e
+            prune *= 0.5
+    raise err  # type: ignore[misc]
 
 
 # ---------------------------------------------------------------------------
