@@ -609,7 +609,7 @@ def _bilstmp_fwd_kernel(cell_clip: float, mxu_bf16: bool,
 def _bilstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
                         dyf_ref, dyb_ref, mf_ref, mb_ref,
                         gf_ref, gb_ref, cpf_ref, cpb_ref,
-                        rpf_ref, rpb_ref,
+                        ic_ref,
                         w_r2_ref, w_rm2_ref, peep2_ref,
                         dfc_ref, dfr_ref,
                         dxgf_ref, dxgb_ref, drnf_ref, drnb_ref,
@@ -679,11 +679,20 @@ def _bilstmp_bwd_kernel(cell_clip: float, mxu_bf16: bool,
 
     mf = mf_ref[0][:, 0:1]
     mb = mb_ref[0][:, 0:1]
+    # cpf/cpb are the UNSHIFTED forward state outputs read through
+    # offset index maps (cs[pf-1] / cs[pb+1]); the boundary grid step
+    # (p == T-1 for both directions) substitutes the true initial
+    # state: init_c for direction f, zeros for direction b
+    at_boundary = p == T - 1
+    c_prev_f = jnp.where(at_boundary, ic_ref[:].astype(jnp.float32),
+                         cpf_ref[0].astype(jnp.float32))
+    c_prev_b = jnp.where(at_boundary, 0.0,
+                         cpb_ref[0].astype(jnp.float32))
     dgf, drnf, m_f, dcf, drf = step(
-        dyf_ref[0], mf, gf_ref[0], cpf_ref[0].astype(jnp.float32),
+        dyf_ref[0], mf, gf_ref[0], c_prev_f,
         dcf_scr[:], drf_scr[:], 0)
     dgb, drnb, m_b, dcb, drb = step(
-        dyb_ref[0], mb, gb_ref[0], cpb_ref[0].astype(jnp.float32),
+        dyb_ref[0], mb, gb_ref[0], c_prev_b,
         dcb_scr[:], drb_scr[:], 1)
     dcf_scr[:] = dcf
     drf_scr[:] = drf
@@ -714,6 +723,26 @@ def _fwd_idx(shape):
 
 def _rev_idx(shape, T):
     return pl.BlockSpec((1,) + shape, lambda s, t: (T - 1 - t, s, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rev_prev_idx(shape, T):
+    """Reverse-time traversal reading the PREVIOUS frame's block of a
+    saved state sequence (frame T-2-t, clamped; the t = T-1 boundary
+    block is substituted in-kernel).  Lets the backward read c_{t-1}
+    straight out of the forward's cs output — no shifted concat copy
+    of the [T,S,C] stream at the autodiff boundary."""
+    return pl.BlockSpec((1,) + shape,
+                        lambda s, t: (jnp.maximum(T - 2 - t, 0), s, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_next_idx(shape, T):
+    """Natural-order traversal reading the NEXT frame's block (frame
+    t+1, clamped; the t = T-1 boundary is substituted in-kernel) — the
+    backward-direction mirror of _rev_prev_idx."""
+    return pl.BlockSpec((1,) + shape,
+                        lambda s, t: (jnp.minimum(t + 1, T - 1), s, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -779,7 +808,7 @@ def _bilstmp_train_fwd(xgf, xgb, mask, w_r2, w_rm2, peep2, bias2,
 @partial(jax.jit, static_argnames=("cell_clip", "interpret",
                                    "store_bf16", "mxu_bf16"))
 def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb,
-                       cpf, cpb, rpf, rpb, w_r2, w_rm2, peep2,
+                       csf, csb, init_c, rpf, rpb, w_r2, w_rm2, peep2,
                        d_final_c, d_final_r, cell_clip, interpret,
                        store_bf16=True, mxu_bf16=True):
     T, S, G = gf.shape
@@ -800,8 +829,8 @@ def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb,
             _rev_idx((blk, P), T), _fwd_idx((blk, P)),
             _rev_idx((blk, 128), T), _fwd_idx((blk, 128)),
             _rev_idx((blk, G), T), _fwd_idx((blk, G)),
-            _rev_idx((blk, C), T), _fwd_idx((blk, C)),
-            _rev_idx((blk, P), T), _fwd_idx((blk, P)),
+            _rev_prev_idx((blk, C), T), _fwd_next_idx((blk, C), T),
+            _per_block((blk, C)),
             _resident3((2, P, G)), _resident3((2, C, P)),
             _resident3((2, 3, C)),
             _per_block((blk, C)), _per_block((blk, P)),
@@ -834,7 +863,7 @@ def _bilstmp_train_bwd(dyf, dyb, mask, gf, gb,
             pltpu.VMEM((2, 3, C), jnp.float32),
         ],
         interpret=interpret,
-    )(dyf_t, dyb_t, mask_t, mask_t, gf, gb, cpf, cpb, rpf, rpb,
+    )(dyf_t, dyb_t, mask_t, mask_t, gf, gb, csf, csb, init_c,
       w_r2, w_rm2, peep2, d_final_c, d_final_r)
 
     # the only remaining off-kernel reductions: two clean bf16 MXU
@@ -900,21 +929,21 @@ def _get_bilstmp_core(cell_clip: float, interpret: bool,
         (mask, gatesf, gatesb, csf, csb, rsf, rsb,
          w_r2, w_rm2, peep2, init_c, init_r) = res
         act_dt = gatesf.dtype
+        # c_{t-1} streams are read straight from csf/csb through
+        # offset BlockSpec index maps (no shifted copies); the r_prev
+        # streams are still materialized — they feed the hoisted dwr
+        # einsums, not the kernel.
         # direction f: prev state at frame t is state after t-1
-        cpf = jnp.concatenate(
-            [init_c[None].astype(act_dt), csf[:-1]], axis=0)
         rpf = jnp.concatenate(
             [init_r[None].astype(act_dt), rsf[:-1]], axis=0)
         # direction b walks T-1→0: prev state at frame t is state
         # after frame t+1 (zero-init at t = T-1)
-        zc = jnp.zeros_like(csb[:1])
         zr = jnp.zeros_like(rsb[:1])
-        cpb = jnp.concatenate([csb[1:], zc], axis=0)
         rpb = jnp.concatenate([rsb[1:], zr], axis=0)
         (dxgf, dxgb, dic, dir_, dwr2, dwrm2, dpeep2, dbias2) = \
             _bilstmp_train_bwd(
                 dysf, dysb, mask, gatesf, gatesb,
-                cpf, cpb, rpf, rpb, w_r2, w_rm2, peep2,
+                csf, csb, init_c, rpf, rpb, w_r2, w_rm2, peep2,
                 d_final_c, d_final_r, cell_clip, interpret,
                 store_bf16, mxu_bf16)
         act = jnp.bfloat16 if store_bf16 else jnp.float32
