@@ -115,14 +115,22 @@ class CsrGraph:
 INVALID_DST = np.int32(2 ** 30)
 
 
-def _expand(states, row_ptr, budget: int, cap: int = 0):
+def _expand(states, scores, row_se, budget: int, cap: int = 0):
     """Enumerate the out-arcs of the frontier into a fixed budget.
 
-    Segment fill by scatter + cummax: write each frontier slot's id at
-    its block start, forward-fill, and offset into the CSR rows.  (An
-    earlier version used ``searchsorted``, which XLA lowers to a
-    log2(K)-deep chain of [A]-sized gathers — 4.3 ms/frame on a v5e at
-    A=32k vs 1.3 ms for this formulation.)
+    Segment fill by monotone rank: ``excl`` (exclusive cumsum of
+    degrees) is sorted, so the frontier slot owning budget position j
+    is exactly ``#{k : excl[k] <= j} - 1`` — one fused
+    broadcast-compare-reduce over [A, K], no scatter and no
+    multi-pass cummax.  (History: ``searchsorted`` lowered to a
+    log2(K)-deep chain of [A] gathers, 4.3 ms/frame at A=32k; the
+    scatter + cummax forward fill that replaced it still cost
+    ~120 us/frame in ~10-pass [A] ops; the rank reduction is ~10 us.
+    Zero-degree slots are skipped naturally: their excl ties the next
+    slot's and the tie-break picks the later slot.)
+
+    ``row_se`` is the [S, 2] (start, degree) table — one gather per
+    frontier instead of two row_ptr gathers.
 
     ``cap`` > 0 limits each state's expansion to its ``cap``
     lowest-weight arcs (rows are weight-sorted, CsrGraph.from_packed).
@@ -134,27 +142,38 @@ def _expand(states, row_ptr, budget: int, cap: int = 0):
     that fan out to vocabulary-sized degrees and would otherwise force
     the arc budget up to the max out-degree).
 
+    ``scores`` rides along so ALL per-slot fields are fetched by ONE
+    row gather: TPU random gathers pay per touched row, not per
+    element, so gathering the packed [K, 2] table
+    (row_start - excl, score) once costs the same as gathering a
+    single [K] array — and three separate [A]-indexed gathers
+    (starts/excl/scores, ~58 us each at A=8k on v5e) collapse into
+    one.  row_start - excl is exact in f32 (graphs < 2^24 arcs).
+
     Returns (arc_pos [A] int32 absolute positions into the CSR arrays,
-    slot [A] frontier slot each arc came from, valid [A] bool)."""
+    slot [A] frontier slot each arc came from, score [A] source score,
+    valid [A] bool)."""
     K = states.shape[0]
     safe = jnp.maximum(states, 0)
-    starts = row_ptr[safe]
-    deg = jnp.where(states >= 0, row_ptr[safe + 1] - starts, 0)
+    se = row_se[safe]                           # [K, 2] one gather
+    starts = se[:, 0]
+    deg = jnp.where(states >= 0, se[:, 1], 0)
     if cap > 0:
         deg = jnp.minimum(deg, cap)
     cum = jnp.cumsum(deg)                       # inclusive
     excl = cum - deg
     total = cum[-1]
-    pos = jnp.where(deg > 0, excl, budget)      # dropped if no arcs
-    slot_ids = jnp.arange(K, dtype=jnp.int32)
-    mark = jnp.full(budget, -1, jnp.int32).at[pos].max(
-        slot_ids, mode="drop")
-    slot = jax.lax.cummax(mark)
-    slot_c = jnp.clip(slot, 0, K - 1)
     j = jnp.arange(budget, dtype=jnp.int32)
-    arc_pos = starts[slot_c] + (j - excl[slot_c])
-    valid = (j < total) & (slot >= 0)
-    return jnp.where(valid, arc_pos, 0), slot_c, valid
+    slot = jnp.sum((excl[None, :] <= j[:, None]).astype(jnp.int32),
+                   axis=1) - 1                  # always >= 0: excl[0]=0
+    slot_c = jnp.clip(slot, 0, K - 1)
+    tbl = jnp.stack([(starts - excl).astype(jnp.float32), scores],
+                    axis=1)                     # [K, 2]
+    row = tbl[slot_c]                           # ONE [A, 2] gather
+    arc_pos = row[:, 0].astype(jnp.int32) + j
+    sc_slot = row[:, 1]
+    valid = j < total
+    return jnp.where(valid, arc_pos, 0), slot_c, sc_slot, valid
 
 
 def _dedup_topk(cand_dst, cand_score, valid, K: int):
@@ -177,23 +196,25 @@ def _dedup_topk(cand_dst, cand_score, valid, K: int):
     masked = jnp.where(first & (sd < INVALID_DST), -snegs, NEG_INF)
     topk_scores, sel = jax.lax.top_k(masked, K)
     alive = topk_scores > NEG_INF / 2
-    new_states = jnp.where(alive, sd[sel], -1)
+    picked = jnp.stack([sd, sidx], axis=1)[sel]   # ONE row gather
+    new_states = jnp.where(alive, picked[:, 0], -1)
     new_scores = jnp.where(alive, topk_scores, NEG_INF)
-    chosen = jnp.where(alive, sidx[sel], -1)
+    chosen = jnp.where(alive, picked[:, 1], -1)
     return new_states, new_scores, chosen
 
 
 @partial(jax.jit, static_argnames=(
-    "K", "A", "chunk", "eps_rounds", "record_lattice"))
+    "K", "A", "A_em", "chunk", "eps_rounds", "record_lattice"))
 def _beam_scan(
     ll_all,              # [Tp, P] device-resident acoustic scores
     t0,                  # scalar: first frame of this chunk
     total_t,             # scalar: true utterance length
     states, scores,      # carry-in frontier [K]
-    em_row_ptr, em_pack,     # CSR row ptr + packed [N,4] arc rows
-    ep_row_ptr, ep_pack,     # eps CSR row ptr + packed [N,3] rows
+    em_se, em_pack,          # [S,2] (start,deg) + packed [N,4] arc rows
+    ep_se, ep_pack,          # eps [S,2] (start,deg) + packed [N,3] rows
     acoustic_scale, beam,
-    K: int, A: int, chunk: int, eps_rounds: int, record_lattice: bool,
+    K: int, A: int, A_em: int, chunk: int, eps_rounds: int,
+    record_lattice: bool,
 ):
     """One chunk of frames starting at traced offset ``t0`` (the slice
     happens inside the jit so ONE compile serves every chunk — eager
@@ -220,31 +241,39 @@ def _beam_scan(
         # scattered HBM accesses (dst/pdf/weight/arc) into one —
         # random-access gathers pay per touched cache line, not per
         # element, so AoS beats SoA ~4x here (measured on v5e)
-        arc_pos, slot, ok = _expand(st, em_row_ptr, A)
-        row = em_pack[arc_pos]                   # [A, 4] int32
+        arc_pos, slot, src_sc, ok = _expand(st, sc, em_se, A_em)
+        row = em_pack[arc_pos]                   # [A_em, 3] int32
         cand_dst = row[:, 0]
         ac = acoustic_scale * ll_t[row[:, 1]]
         w = jax.lax.bitcast_convert_type(row[:, 2], jnp.float32)
-        cand = sc[slot] - w + ac
+        cand = src_sc - w + ac
         best = jnp.max(jnp.where(ok, cand, NEG_INF))
         ok = ok & (cand >= best - beam)
         nst, nsc, chosen = _dedup_topk(cand_dst, cand, ok, K)
         sel = jnp.maximum(chosen, 0)
-        stage_arc.append(jnp.where(chosen >= 0, row[sel, 3], -1))
-        stage_slot.append(jnp.where(chosen >= 0, slot[sel], -1))
+        picked = jnp.stack([arc_pos, slot], axis=1)[sel]   # one gather
+        stage_arc.append(jnp.where(chosen >= 0, picked[:, 0], -1))
+        stage_slot.append(jnp.where(chosen >= 0, picked[:, 1], -1))
         if record_lattice:
-            rec_arc.append(jnp.where(ok, row[:, 3], -1))
-            rec_slot.append(jnp.where(ok, slot, -1))
-            rec_score.append(jnp.where(ok, cand, NEG_INF))
+            # em planes are [A_em]; pad to the eps budget A so the
+            # per-stage record planes stack
+            pad = (0, A - A_em)
+            rec_arc.append(jnp.pad(jnp.where(ok, arc_pos, -1), pad,
+                                   constant_values=-1))
+            rec_slot.append(jnp.pad(jnp.where(ok, slot, -1), pad,
+                                    constant_values=-1))
+            rec_score.append(jnp.pad(jnp.where(ok, cand, NEG_INF), pad,
+                                     constant_values=NEG_INF))
         st, sc = nst, nsc
 
         # ---- eps stages: relax non-emitting arcs, merge with frontier
         for _ in range(eps_rounds):
-            arc_pos, slot, ok = _expand(st, ep_row_ptr, A, cap=K)
-            erow = ep_pack[arc_pos]              # [A, 3] int32
+            arc_pos, slot, src_sc, ok = _expand(st, sc, ep_se, A,
+                                                cap=K)
+            erow = ep_pack[arc_pos]              # [A, 2] int32
             dst_e = erow[:, 0]
             w_e = jax.lax.bitcast_convert_type(erow[:, 1], jnp.float32)
-            cand_e = sc[slot] - w_e
+            cand_e = src_sc - w_e
             ok = ok & (cand_e >= best - beam)
             # merge candidates with the carried frontier: first K
             # entries are the frontier itself (arc = -1 marker)
@@ -255,13 +284,14 @@ def _beam_scan(
             sel = jnp.maximum(chosen, 0)
             from_eps = chosen >= K
             eps_sel = jnp.maximum(sel - K, 0)
+            epicked = jnp.stack([arc_pos, slot], axis=1)[eps_sel]
             stage_arc.append(jnp.where(
-                from_eps, erow[eps_sel, 2], -1))
+                from_eps, epicked[:, 0], -1))
             stage_slot.append(jnp.where(
                 chosen < 0, -1,
-                jnp.where(from_eps, slot[eps_sel], sel)))
+                jnp.where(from_eps, epicked[:, 1], sel)))
             if record_lattice:
-                rec_arc.append(jnp.where(ok, erow[:, 2], -1))
+                rec_arc.append(jnp.where(ok, arc_pos, -1))
                 rec_slot.append(jnp.where(ok, slot, -1))
                 rec_score.append(jnp.where(ok, cand_e, NEG_INF))
             st, sc = nst, nsc
@@ -335,30 +365,71 @@ class BeamSearchDecoder:
         # CsrGraph), so the budget covers a frontier of avg degree 4;
         # overflow drops the worst-scored tokens' arcs first
         self.A = int(arc_budget or 4 * self.K)
+        # emitting out-degrees are small and static per graph: size the
+        # emitting budget exactly (every [A_em] op in the scan shrinks)
+        max_em_deg = int(max(1, np.max(np.diff(graph.em_row_ptr))))
+        self.A_em = int(min(self.A, self.K * max_em_deg))
         self.chunk = int(chunk)
         self._em_pdf = self.tid_to_pdf[graph.em_tid]
         # device-resident graph arrays; per-arc fields are packed into
         # one row (AoS) so the random gather touches ONE cache line
         # per arc instead of four
+        # arc ids are NOT stored on device: backpointer planes carry
+        # CSR positions, which the host maps through em_arc/ep_arc at
+        # backtrace time — a narrower row per gather, and the [N,3]
+        # shape keeps XLA from re-laying-out the table every chunk
+        # (the old [N,4] row got a 17MB layout copy per scan call)
         em_pack = np.stack([
             graph.em_dst.astype(np.int32),
             self._em_pdf.astype(np.int32),
             graph.em_weight.astype(np.float32).view(np.int32),
-            graph.em_arc.astype(np.int32),
         ], axis=1)
         ep_pack = np.stack([
             graph.ep_dst.astype(np.int32),
             graph.ep_weight.astype(np.float32).view(np.int32),
-            graph.ep_arc.astype(np.int32),
         ], axis=1)
+        def se(row_ptr):
+            rp = np.asarray(row_ptr, np.int64)
+            return np.stack([rp[:-1], rp[1:] - rp[:-1]],
+                            axis=1).astype(np.int32)
+
         self._dev = {
-            "em_row_ptr": jnp.asarray(graph.em_row_ptr),
+            "em_se": jnp.asarray(se(graph.em_row_ptr)),
             "em_pack": jnp.asarray(em_pack),
-            "ep_row_ptr": jnp.asarray(graph.ep_row_ptr),
+            "ep_se": jnp.asarray(se(graph.ep_row_ptr)),
             "ep_pack": jnp.asarray(ep_pack),
         }
         self.eps_rounds = max(graph.eps_diameter, 0)
 
+
+
+    # -- position→arc-id mapping (device planes carry CSR positions) --
+    def _map_plane_arcs(self, planes):
+        """[..., stages, K] backpointer/record planes with stage 0 =
+        emitting: map CSR positions to global arc ids (-1 passes)."""
+        g = self.graph
+        out = np.empty_like(planes)
+        for s in range(planes.shape[-2]):
+            table = g.em_arc if s == 0 else g.ep_arc
+            p = planes[..., s, :]
+            out[..., s, :] = np.where(
+                p >= 0, table[np.minimum(np.maximum(p, 0),
+                                         len(table) - 1)], -1)
+        return out
+
+    def _map_rev_arcs(self, arcs_rt):
+        """[..., stages DESCENDING] device-backtrace output: the last
+        column is the emitting stage."""
+        g = self.graph
+        out = np.empty_like(arcs_rt)
+        n = arcs_rt.shape[-1]
+        for j in range(n):
+            table = g.em_arc if (n - 1 - j) == 0 else g.ep_arc
+            p = arcs_rt[..., j]
+            out[..., j] = np.where(
+                p >= 0, table[np.minimum(np.maximum(p, 0),
+                                         len(table) - 1)], -1)
+        return out
 
     def _pad_device(self, loglikes, T: int):
         """Pad to a power-of-two number of chunks so the jitted scan
@@ -375,10 +446,10 @@ class BeamSearchDecoder:
                     record_lattice: bool):
         return _beam_scan(
             ll_dev, jnp.int32(t0), jnp.int32(T), st, sc,
-            self._dev["em_row_ptr"], self._dev["em_pack"],
-            self._dev["ep_row_ptr"], self._dev["ep_pack"],
+            self._dev["em_se"], self._dev["em_pack"],
+            self._dev["ep_se"], self._dev["ep_pack"],
             jnp.float32(self.acoustic_scale), jnp.float32(self.beam),
-            self.K, self.A, self.chunk, self.eps_rounds,
+            self.K, self.A, self.A_em, self.chunk, self.eps_rounds,
             record_lattice,
         )
 
@@ -428,7 +499,7 @@ class BeamSearchDecoder:
                 recs.append((np.asarray(outs[3])[:tc],
                              np.asarray(outs[4])[:tc],
                              np.asarray(outs[5])[:tc]))
-        arc_planes = (np.concatenate(planes_arc)
+        arc_planes = (self._map_plane_arcs(np.concatenate(planes_arc))
                       if planes_arc else np.zeros((0, 1, self.K), np.int32))
         slot_planes = (np.concatenate(planes_slot)
                        if planes_slot else np.zeros((0, 1, self.K), np.int32))
@@ -479,7 +550,7 @@ class BeamSearchDecoder:
         n_stages = arc_planes.shape[1]
         final_slot, arcs_rev = _backtrace_scan(
             arc_planes, slot_planes, k, n_stages)
-        arcs_rt = np.asarray(arcs_rev)          # [Tp, stages desc]
+        arcs_rt = self._map_rev_arcs(np.asarray(arcs_rev))  # [Tp, st desc]
         final_slot = int(final_slot)
         g = self.graph.packed
         Tp = arcs_rt.shape[0]
@@ -568,8 +639,9 @@ class BeamSearchDecoder:
         T = len(loglikes)
         pdf = self.tid_to_pdf
         ll = np.asarray(loglikes)
-        rec_arc = np.concatenate([r[0] for r in recs]) if recs else \
-            np.zeros((0, 1, self.A), np.int32)
+        rec_arc = (self._map_plane_arcs(
+            np.concatenate([r[0] for r in recs])) if recs else
+            np.zeros((0, 1, self.A), np.int32))
 
         # recorded arcs by time: eps arcs recorded in frame t happen at
         # time t+1; emitting arcs of frame t span t → t+1
@@ -705,20 +777,22 @@ class BeamSearchDecoder:
         return Lattice(T, arcs_out, self.graph.start, finals)
 
 
-@partial(jax.jit, static_argnames=("K", "A", "chunk", "eps_rounds"))
+@partial(jax.jit, static_argnames=("K", "A", "A_em", "chunk",
+                                   "eps_rounds"))
 def _beam_scan_batched(ll, t0, total_t, st, sc,
-                       em_row_ptr, em_pack,
-                       ep_row_ptr, ep_pack,
+                       em_se, em_pack,
+                       ep_se, ep_pack,
                        acoustic_scale, beam,
-                       K: int, A: int, chunk: int, eps_rounds: int):
+                       K: int, A: int, A_em: int, chunk: int,
+                       eps_rounds: int):
     """vmap of the chunk scan over a batch of utterances (shared graph,
     per-utterance frontier/length)."""
 
     def one(ll1, tt1, st1, sc1):
         return _beam_scan(
             ll1, t0, tt1, st1, sc1,
-            em_row_ptr, em_pack, ep_row_ptr, ep_pack,
-            acoustic_scale, beam, K, A, chunk, eps_rounds, False)
+            em_se, em_pack, ep_se, ep_pack,
+            acoustic_scale, beam, K, A, A_em, chunk, eps_rounds, False)
 
     return jax.vmap(one)(ll, total_t, st, sc)
 
@@ -761,11 +835,11 @@ class BatchedBeamDecoder(BeamSearchDecoder):
         for t0 in range(0, Tmax, self.chunk):
             (st, sc), outs = _beam_scan_batched(
                 ll_dev, jnp.int32(t0), total_t, st, sc,
-                self._dev["em_row_ptr"], self._dev["em_pack"],
-                self._dev["ep_row_ptr"], self._dev["ep_pack"],
+                self._dev["em_se"], self._dev["em_pack"],
+                self._dev["ep_se"], self._dev["ep_pack"],
                 jnp.float32(self.acoustic_scale),
                 jnp.float32(self.beam),
-                self.K, self.A, self.chunk, self.eps_rounds,
+                self.K, self.A, self.A_em, self.chunk, self.eps_rounds,
             )
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
@@ -786,7 +860,7 @@ class BatchedBeamDecoder(BeamSearchDecoder):
             lambda a, s, k: _backtrace_scan(a, s, k, n_stages),
             in_axes=(0, 0, 0),
         )(arc_planes, slot_planes, jnp.asarray(slots, jnp.int32))
-        arcs_rt = np.asarray(arcs_rev)          # [B, Tc, stages desc]
+        arcs_rt = self._map_rev_arcs(np.asarray(arcs_rev))  # [B,Tc,desc]
         final_slots = np.asarray(final_slots)
         g = self.graph.packed
         out = []
