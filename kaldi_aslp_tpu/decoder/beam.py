@@ -12,7 +12,7 @@ re-expresses every step as static-shape vector ops inside one
 ``lax.scan`` over frames:
 
   1. *expansion*: out-arcs of the frontier are enumerated by exclusive-
-     cumsum over per-state degrees + a scatter/cummax segment fill into
+     cumsum over per-state degrees + a monotone-rank segment fill into
      a fixed arc budget A (the frontier is score-sorted, so on overflow
      the worst tokens lose their arcs first — the analogue of
      adaptive-beam tightening);
