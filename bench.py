@@ -69,7 +69,11 @@ def _build_flagship():
     params = net.init(jax.random.PRNGKey(0))
     velocity = init_velocity(params)
     update = make_sgd_update(net, NnetTrainOptions(momentum=0.9))
-    lr = jnp.asarray(0.0001, jnp.float32)
+    # python float, NOT jnp.asarray: a jit that closes over a device
+    # array (even a scalar) permanently degrades axon-tunnel H2D from
+    # ~1.3 GB/s to ~40 MB/s for the process — this single line was the
+    # whole corpus-fed vs synthetic throughput gap (see CLAUDE.md)
+    lr = 0.0001
 
     @jax.jit
     def step(params, velocity, feats, labels, in_lens, lab_lens, mask):
@@ -100,14 +104,19 @@ def bench_train():
 
     params, velocity, loss = step(params, velocity, feats, labels,
                                   in_lens, lab_lens, mask)
-    jax.block_until_ready(loss)
+    # sync by FETCHING the value, not block_until_ready: on the axon
+    # remote platform block_until_ready returns before the computation
+    # has actually run (measured: a post-block fetch of the warmup loss
+    # waited ~2 min for the remote pipeline).  Only a D2H value fetch is
+    # a true barrier here.
+    float(loss)
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         params, velocity, loss = step(params, velocity, feats, labels,
                                       in_lens, lab_lens, mask)
-    jax.block_until_ready(loss)
+    float(loss)  # true barrier (see warmup comment)
     dt = time.perf_counter() - t0
 
     audio_seconds = n_iters * S * T * FRAME_SHIFT_S
@@ -159,14 +168,14 @@ def bench_train_corpus_fed(state, n_utts=512, repeats=2):
     # warmup one batch (shape identical to bench_train → no new compile)
     warm = next(iter(DevicePrefetcher(batches(), transform=to_device)))
     params, velocity, loss = step(params, velocity, *warm[:5])
-    jax.block_until_ready(loss)
+    float(loss)  # true barrier; block_until_ready lies on axon (see bench_train)
 
     audio_frames = 0.0
     t0 = time.perf_counter()
     for item in DevicePrefetcher(batches(), transform=to_device):
         params, velocity, loss = step(params, velocity, *item[:5])
         audio_frames += item[5]
-    jax.block_until_ready(loss)
+    float(loss)  # true barrier
     dt = time.perf_counter() - t0
     return audio_frames * FRAME_SHIFT_S / dt
 

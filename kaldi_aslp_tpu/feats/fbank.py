@@ -47,10 +47,14 @@ class Fbank:
         self.frame_opts = frame_opts or FrameExtractionOptions()
         self.mel_opts = mel_opts or MelBanksOptions()
         self.opts = fbank_opts or FbankOptions()
-        self._mel = jnp.asarray(
-            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp)
+        # host numpy, NOT device arrays: closed-over device constants in
+        # a jit permanently poison axon-tunnel H2D bandwidth (CLAUDE.md)
+        self._mel = np.asarray(
+            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp),
+            np.float32,
         )
-        self._window = jnp.asarray(window_function(self.frame_opts))
+        self._window = np.asarray(window_function(self.frame_opts),
+                                  np.float32)
 
     @property
     def dim(self) -> int:

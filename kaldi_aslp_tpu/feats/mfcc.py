@@ -65,19 +65,26 @@ class Mfcc:
         self.frame_opts = frame_opts or FrameExtractionOptions()
         self.mel_opts = mel_opts or MelBanksOptions()
         self.opts = mfcc_opts or MfccOptions()
-        self._mel = jnp.asarray(
-            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp)
+        # constants are kept as HOST numpy so the jitted _compute embeds
+        # them as HLO literals: a jit that closes over a DEVICE array
+        # permanently degrades axon-tunnel H2D from ~1.3 GB/s to ~40 MB/s
+        # for the whole process (measured; see CLAUDE.md environment traps)
+        self._mel = np.asarray(
+            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp),
+            np.float32,
         )
         # full-size DCT then truncated to num_ceps, transposed for x @ D
-        self._dct = jnp.asarray(
-            dct_matrix(self.opts.num_ceps, self.mel_opts.num_bins).T
+        self._dct = np.asarray(
+            dct_matrix(self.opts.num_ceps, self.mel_opts.num_bins).T,
+            np.float32,
         )
         self._lifter = (
-            jnp.asarray(lifter_coeffs(self.opts.cepstral_lifter,
-                                      self.opts.num_ceps))
+            np.asarray(lifter_coeffs(self.opts.cepstral_lifter,
+                                     self.opts.num_ceps), np.float32)
             if self.opts.cepstral_lifter != 0.0 else None
         )
-        self._window = jnp.asarray(window_function(self.frame_opts))
+        self._window = np.asarray(window_function(self.frame_opts),
+                                  np.float32)
 
     @property
     def dim(self) -> int:

@@ -31,7 +31,10 @@ class Spectrogram:
 
     def __init__(self, frame_opts: FrameExtractionOptions | None = None):
         self.frame_opts = frame_opts or FrameExtractionOptions()
-        self._window = jnp.asarray(window_function(self.frame_opts))
+        # host numpy (HLO literal), not a device array: see CLAUDE.md on
+        # jit-captured device constants poisoning tunnel H2D bandwidth
+        self._window = np.asarray(window_function(self.frame_opts),
+                                  np.float32)
 
     @property
     def dim(self) -> int:
@@ -153,13 +156,18 @@ class Plp:
         self.opts = plp_opts or PlpOptions()
         if self.opts.num_ceps > self.opts.lpc_order + 1:
             raise ValueError("num_ceps must be <= lpc_order + 1")
-        self._mel = jnp.asarray(
-            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp)
+        # host numpy (HLO literals), not device arrays: see CLAUDE.md on
+        # jit-captured device constants poisoning tunnel H2D bandwidth
+        self._mel = np.asarray(
+            mel_banks_matrix(self.mel_opts, self.frame_opts, vtln_warp),
+            np.float32,
         )
-        self._eql = jnp.asarray(
-            equal_loudness_curve(self.mel_opts, self.frame_opts, vtln_warp)
+        self._eql = np.asarray(
+            equal_loudness_curve(self.mel_opts, self.frame_opts, vtln_warp),
+            np.float32,
         )
-        self._window = jnp.asarray(window_function(self.frame_opts))
+        self._window = np.asarray(window_function(self.frame_opts),
+                                  np.float32)
         self._lifter = lifter_coeffs(self.opts.cepstral_lifter,
                                      self.opts.num_ceps) \
             if self.opts.cepstral_lifter != 0 else None

@@ -50,7 +50,9 @@ class ConvolutionalComponent(Component):
                 base = s * self.patch_stride + p * self.patch_step
                 cols.extend(range(base, base + self.patch_dim))
             idx[p] = cols
-        self._patch_idx = jnp.asarray(idx)
+        # host numpy so Nnet.apply under jit embeds it as a literal — a
+        # captured DEVICE array would poison tunnel H2D (see CLAUDE.md)
+        self._patch_idx = idx
 
     def init_params(self, key):
         k1, k2 = jax.random.split(key)
