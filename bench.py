@@ -66,6 +66,7 @@ def _build_flagship():
         dim = 640
     net.add(AffineTransform(dim, V, param_stddev=0.04, bias_mean=0.0,
                             bias_range=0.0))
+    _build_flagship.net = net  # corpus-fed bench reuses the same model
     params = net.init(jax.random.PRNGKey(0))
     velocity = init_velocity(params)
     update = make_sgd_update(net, NnetTrainOptions(momentum=0.9))
@@ -127,19 +128,22 @@ def bench_train():
                                                        velocity)
 
 
-def bench_train_corpus_fed(state, n_utts=512, repeats=2):
+def bench_train_corpus_fed(state, n_utts=512, repeats=2,
+                           transport="bf16"):
     """Corpus-fed throughput: variable-length utterances through the
-    REAL input pipeline (CtcBatcher bucketing + DevicePrefetcher) into
-    the same jitted step — the honest number the round-1 verdict asked
-    for next to the fixed-batch one (reference role: the trainers'
-    table-reading outer loop, aslp-nnet-train-ctc-streams.cc:118-204)."""
+    REAL training loop (CtcBatcher bucketing → CtcTrainer.train_epoch
+    with bf16 feature transport + DevicePrefetcher) — the honest number
+    the round-1 verdict asked for next to the fixed-batch one
+    (reference role: the trainers' table-reading outer loop,
+    aslp-nnet-train-ctc-streams.cc:118-204).  The link is byte-bound at
+    ~30-40 MB/s (see data/transport.py), so features cross as bf16 —
+    numerically free for a bf16-matmul model."""
     import jax
-    import jax.numpy as jnp
 
-    from kaldi_aslp_tpu.data.prefetch import DevicePrefetcher
     from kaldi_aslp_tpu.data.sequence import CtcBatcher, CtcBatcherOptions
+    from kaldi_aslp_tpu.train import NnetTrainOptions, init_velocity
+    from kaldi_aslp_tpu.train.trainer import CtcTrainer
 
-    step, params, velocity = state
     S, T, U, D = BENCH_S, BENCH_T, BENCH_U, BENCH_D
     rs = np.random.RandomState(1)
     utts = []
@@ -160,24 +164,24 @@ def bench_train_corpus_fed(state, n_utts=512, repeats=2):
                     continue  # ragged tail would trigger a recompile
                 yield b
 
-    def to_device(b):
-        return (jnp.asarray(b.feats), jnp.asarray(b.labels),
-                jnp.asarray(b.input_lengths), jnp.asarray(b.label_lengths),
-                jnp.asarray(b.frame_mask), float(b.input_lengths.sum()))
+    net = _build_flagship.net
+    trainer = CtcTrainer(net, NnetTrainOptions(momentum=0.9),
+                         transport=transport)
+    params = net.init(jax.random.PRNGKey(0))
+    velocity = init_velocity(params)
 
-    # warmup one batch (shape identical to bench_train → no new compile)
-    warm = next(iter(DevicePrefetcher(batches(), transform=to_device)))
-    params, velocity, loss = step(params, velocity, *warm[:5])
-    float(loss)  # true barrier; block_until_ready lies on axon (see bench_train)
+    # warmup one batch (compiles the transported step), sync via drain
+    import itertools
+    params, velocity, rep = trainer.train_epoch(
+        params, velocity, itertools.islice(batches(), 1), 1e-4)
+    rep.avg_loss  # drain = true value-fetch barrier
 
-    audio_frames = 0.0
     t0 = time.perf_counter()
-    for item in DevicePrefetcher(batches(), transform=to_device):
-        params, velocity, loss = step(params, velocity, *item[:5])
-        audio_frames += item[5]
-    float(loss)  # true barrier
+    params, velocity, rep = trainer.train_epoch(
+        params, velocity, batches(), 1e-4)
+    frames = rep.frames  # drain = true barrier
     dt = time.perf_counter() - t0
-    return audio_frames * FRAME_SHIFT_S / dt
+    return frames * FRAME_SHIFT_S / dt
 
 
 def synth_decode_graph(num_words=30000, phones_per_word=6,
@@ -242,21 +246,34 @@ def bench_decode_rtf():
 
 
 def main():
-    throughput, mfu, state = bench_train()
-    try:
-        corpus_fed = bench_train_corpus_fed(state)
-    except Exception:
-        corpus_fed = None
-    # the decode benchmark's cold compile can take ~10 min through a
-    # remote-compile tunnel; never let it sink the primary metric
+    # cold compiles can take ~10 min through a remote-compile tunnel;
+    # never let a secondary metric sink the primary one
     import signal
 
     def _timeout(signum, frame):
         raise TimeoutError
 
+    signal.signal(signal.SIGALRM, _timeout)
+
+    throughput, mfu, state = bench_train()
+    corpus_fed = corpus_fed_int8 = None
+    try:
+        signal.alarm(1500)
+        corpus_fed = bench_train_corpus_fed(state)
+    except Exception:
+        corpus_fed = None
+    finally:
+        signal.alarm(0)
+    try:
+        signal.alarm(1500)
+        corpus_fed_int8 = bench_train_corpus_fed(state, transport="int8")
+    except Exception:
+        corpus_fed_int8 = None
+    finally:
+        signal.alarm(0)
+
     rtf = None
     try:
-        signal.signal(signal.SIGALRM, _timeout)
         signal.alarm(1500)
         rtf = bench_decode_rtf()
     except Exception:
@@ -274,6 +291,8 @@ def main():
         out["corpus_fed_audio_s_per_s"] = round(corpus_fed, 2)
         out["pipeline_efficiency_pct"] = round(
             100.0 * corpus_fed / throughput, 1)
+    if corpus_fed_int8 is not None:
+        out["corpus_fed_int8_audio_s_per_s"] = round(corpus_fed_int8, 2)
     if rtf is not None:
         out["decode_rtf_500k_state_graph"] = round(rtf, 4)
     print(json.dumps(out))

@@ -1,0 +1,82 @@
+"""Byte-aware host→device feature transport.
+
+The reference's trainers copy float32 feature matrices host→GPU over
+PCIe, where bandwidth is never the constraint
+(src/aslp-nnet/nnet-randomizer.cc AddData / cu-matrix CopyFromMat).  On
+a TPU fed through a remote tunnel the measured steady-state H2D rate is
+~30-40 MB/s, so corpus-fed training is BYTE-BOUND on the feature upload
+(bench.py: `pipeline_efficiency_pct`).  The TPU-native fix is to ship
+fewer bytes and reconstruct on device:
+
+- ``bf16``: features cross the wire as bfloat16 (2 bytes).  The
+  flagship nets run their matmuls in bf16 anyway (models/recurrent.py
+  ``bf16=True``), so nothing numeric is lost that the MXU would have
+  kept.
+- ``int8``: per-feature-dim affine quantization (4 bytes of scale +
+  offset per dim, ~1 byte per value).  Log-mel/MFCC dims have a few
+  tens of dB of dynamic range, far inside int8's ~48 dB SNR; the
+  dequantized features are re-zeroed outside each utterance's length so
+  padding stays exact.
+- ``f32``: passthrough (the reference-faithful default).
+
+Masks are never transported: ``[S, T]`` frame masks are derived on
+device from the (tiny) length vector.
+
+Host side: ``pack_feats``.  Device side (call INSIDE jit):
+``unpack_feats`` + ``mask_from_lengths``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+TRANSPORTS = ("f32", "bf16", "int8")
+
+
+def mask_from_lengths(in_lens: jnp.ndarray, T: int) -> jnp.ndarray:
+    """[S] lengths → [S, T] float32 0/1 mask (device-side)."""
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    return (t < in_lens.astype(jnp.int32)[:, None]).astype(jnp.float32)
+
+
+def pack_feats(feats: np.ndarray, transport: str
+               ) -> Tuple[np.ndarray, Optional[np.ndarray],
+                          Optional[np.ndarray]]:
+    """Host-side cast/quantize.  Returns (payload, scale, offset); the
+    scale/offset are None except for int8 (where they are [D] f32)."""
+    if transport == "f32":
+        return np.asarray(feats, np.float32), None, None
+    if transport == "bf16":
+        return np.asarray(feats).astype(ml_dtypes.bfloat16), None, None
+    if transport == "int8":
+        f = np.asarray(feats, np.float32)
+        flat = f.reshape(-1, f.shape[-1])
+        lo = flat.min(axis=0)
+        hi = flat.max(axis=0)
+        scale = np.maximum(hi - lo, 1e-10).astype(np.float32) / 254.0
+        offset = lo.astype(np.float32)
+        q = np.rint((f - offset) / scale) - 127.0
+        return q.astype(np.int8), scale, offset
+    raise ValueError(f"unknown transport {transport!r}")
+
+
+def unpack_feats(payload: jnp.ndarray, scale: Optional[jnp.ndarray],
+                 offset: Optional[jnp.ndarray],
+                 in_lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Device-side inverse of pack_feats (traceable).  For int8 the
+    padded region is re-zeroed from ``in_lens`` so padding stays an
+    exact 0.0 (quantization would otherwise leave `offset`-ish values
+    there, and splice/conv layers read across frame boundaries)."""
+    if payload.dtype == jnp.int8:
+        f = (payload.astype(jnp.float32) + 127.0) * scale[None, None, :] \
+            + offset[None, None, :]
+        if in_lens is not None:
+            f = f * mask_from_lengths(in_lens, f.shape[1])[:, :, None]
+        return f
+    if payload.dtype == jnp.bfloat16:
+        return payload.astype(jnp.float32)
+    return payload

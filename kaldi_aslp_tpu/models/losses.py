@@ -156,45 +156,78 @@ class LossReporter:
     # 1h of 10ms frames between ProgressLoss lines, like the reference
     PROGRESS_STEP = 3600 * 100
 
+    # keep this many batches' device scalars un-fetched: fetching a
+    # value is a synchronous ~50 ms tunnel round trip that would
+    # serialize the train loop (CLAUDE.md "tunnel reality"); by the time
+    # a batch is MAX_PENDING old its step has long finished, so the
+    # deferred fetch costs one RTT per drain instead of one per batch
+    MAX_PENDING = 64
+
     def __init__(self, name: str = "xent",
                  progress_step: int = PROGRESS_STEP):
         self.name = name
-        self.loss_sum = 0.0
-        self.frames = 0.0
-        self.correct = 0.0
+        self._loss_sum = 0.0
+        self._frames = 0.0
+        self._correct = 0.0
+        self._pending: List[Dict[str, jnp.ndarray]] = []
         self._progress: List[float] = []
         self._progress_step = progress_step
         self._frames_progress = 0.0
         self._loss_progress = 0.0
 
     def update(self, aux: Dict[str, jnp.ndarray]) -> None:
-        f = float(aux["frames"])
-        loss = float(aux.get("loss_sum", 0.0))
-        self.loss_sum += loss
-        self.frames += f
-        if "accuracy" in aux:
-            self.correct += float(aux["accuracy"]) * f
-        if self.frames > 0:
-            self._progress.append(self.loss_sum / self.frames)
-        # progressive loss line every progress_step frames, last-field
-        # parsable by aslp-log-analyse (reference: nnet-loss.cc:135-153
-        # "ProgressLoss[last Nh of Mh]: ...")
-        self._frames_progress += f
-        self._loss_progress += loss
-        if self._frames_progress > self._progress_step:
-            from kaldi_aslp_tpu.utils.log import get_logger
-            get_logger("nnet-loss").info(
-                "ProgressLoss[last %dh of %dh]: (%s) %.6f",
-                int(self._frames_progress / self._progress_step),
-                int(self.frames / self._progress_step),
-                self.name,
-                self._loss_progress / self._frames_progress)
-            self._frames_progress = 0.0
-            self._loss_progress = 0.0
+        """Record one batch's aux scalars WITHOUT fetching them — the
+        device values are drained lazily (see MAX_PENDING)."""
+        self._pending.append(aux)
+        if len(self._pending) >= self.MAX_PENDING:
+            self._drain()
+
+    def _drain(self) -> None:
+        pending, self._pending = self._pending, []
+        for aux in pending:
+            f = float(aux["frames"])
+            loss = float(np.asarray(aux.get("loss_sum", 0.0)))
+            self._loss_sum += loss
+            self._frames += f
+            if "accuracy" in aux:
+                self._correct += float(aux["accuracy"]) * f
+            if self._frames > 0:
+                self._progress.append(self._loss_sum / self._frames)
+            # progressive loss line every progress_step frames, last-field
+            # parsable by aslp-log-analyse (reference: nnet-loss.cc:135-153
+            # "ProgressLoss[last Nh of Mh]: ...")
+            self._frames_progress += f
+            self._loss_progress += loss
+            if self._frames_progress > self._progress_step:
+                from kaldi_aslp_tpu.utils.log import get_logger
+                get_logger("nnet-loss").info(
+                    "ProgressLoss[last %dh of %dh]: (%s) %.6f",
+                    int(self._frames_progress / self._progress_step),
+                    int(self._frames / self._progress_step),
+                    self.name,
+                    self._loss_progress / self._frames_progress)
+                self._frames_progress = 0.0
+                self._loss_progress = 0.0
+
+    @property
+    def frames(self) -> float:
+        self._drain()
+        return self._frames
+
+    @property
+    def loss_sum(self) -> float:
+        self._drain()
+        return self._loss_sum
+
+    @property
+    def correct(self) -> float:
+        self._drain()
+        return self._correct
 
     @property
     def avg_loss(self) -> float:
-        return self.loss_sum / max(self.frames, 1.0)
+        self._drain()
+        return self._loss_sum / max(self._frames, 1.0)
 
     @property
     def frame_accuracy(self) -> float:

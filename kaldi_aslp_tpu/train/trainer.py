@@ -79,21 +79,25 @@ class FrameTrainer:
         self, params, velocity, batches: Iterator, learn_rate: float,
         reporter: Optional[LossReporter] = None,
     ):
+        from kaldi_aslp_tpu.data.prefetch import DevicePrefetcher
         reporter = reporter or LossReporter(self.objective)
         lr = jnp.asarray(learn_rate, jnp.float32)
-        for batch in batches:
+        tgt_dtype = (jnp.int32 if self.objective == "xent"
+                     else jnp.float32)
+
+        def upload(batch):
             feats, targets = batch[0], batch[1]
             weights = batch[2] if len(batch) > 2 else np.ones(
                 len(feats), np.float32
             )
-            tgt_dtype = (jnp.int32 if self.objective == "xent"
-                         else jnp.float32)
+            return (jnp.asarray(feats), jnp.asarray(targets, tgt_dtype),
+                    jnp.asarray(weights, jnp.float32))
+
+        for dev in DevicePrefetcher(batches, transform=upload):
             self._rng_counter += 1
             rng = jax.random.fold_in(self._base_rng, self._rng_counter)
             params, velocity, loss, aux = self._step(
-                params, velocity, jnp.asarray(feats),
-                jnp.asarray(targets, tgt_dtype),
-                jnp.asarray(weights, jnp.float32), lr, rng,
+                params, velocity, *dev, lr, rng,
             )
             reporter.update(aux)
         return params, velocity, reporter
@@ -117,13 +121,22 @@ class FrameTrainer:
 
 class CtcTrainer:
     """Whole-utterance CTC training (reference:
-    aslp-nnet-train-ctc-streams.cc)."""
+    aslp-nnet-train-ctc-streams.cc).
+
+    ``transport`` selects how feature bytes cross the host→device
+    boundary (see data/transport.py): "f32" is the reference-faithful
+    passthrough; "bf16"/"int8" halve/quarter the upload for byte-bound
+    links, with the frame mask derived on device from the lengths."""
 
     def __init__(self, net: Nnet, opts: Optional[NnetTrainOptions] = None,
-                 blank: int = 0):
+                 blank: int = 0, transport: str = "f32"):
+        from kaldi_aslp_tpu.data.transport import TRANSPORTS
+        if transport not in TRANSPORTS:
+            raise ValueError(f"transport must be one of {TRANSPORTS}")
         self.net = net
         self.opts = opts or NnetTrainOptions()
         self.blank = blank
+        self.transport = transport
         self._update = make_sgd_update(net, self.opts)
         self._step = jax.jit(self._make_step())
         self._eval = jax.jit(self._make_eval())
@@ -131,7 +144,12 @@ class CtcTrainer:
         self._rng_counter = 0
 
     def _make_step(self):
-        def step(params, velocity, feats, labels, in_lens, lab_lens,
+        from kaldi_aslp_tpu.data.transport import (
+            mask_from_lengths,
+            unpack_feats,
+        )
+
+        def core(params, velocity, feats, labels, in_lens, lab_lens,
                  mask, lr, rng):
             def loss_fn(p):
                 y, _ = self.net.apply(p, feats, train=True, mask=mask,
@@ -144,6 +162,16 @@ class CtcTrainer:
             )(params)
             params, velocity = self._update(params, grads, velocity, lr)
             return params, velocity, loss, aux
+
+        if self.transport == "f32":
+            return core
+
+        def step(params, velocity, payload, scale, offset, labels,
+                 in_lens, lab_lens, lr, rng):
+            feats = unpack_feats(payload, scale, offset, in_lens)
+            mask = mask_from_lengths(in_lens, feats.shape[1])
+            return core(params, velocity, feats, labels, in_lens,
+                        lab_lens, mask, lr, rng)
         return step
 
     def _make_eval(self):
@@ -152,19 +180,35 @@ class CtcTrainer:
             return ctc_batch_loss(y, labels, in_lens, lab_lens, self.blank)
         return evaluate
 
+    def _upload(self, b):
+        """Host-side pack + async device upload of one CtcBatch (runs on
+        the DevicePrefetcher worker thread)."""
+        from kaldi_aslp_tpu.data.transport import pack_feats
+        labels = jnp.asarray(b.labels)
+        in_lens = jnp.asarray(b.input_lengths)
+        lab_lens = jnp.asarray(b.label_lengths)
+        if self.transport == "f32":
+            return (jnp.asarray(b.feats), labels, in_lens, lab_lens,
+                    jnp.asarray(b.frame_mask))
+        payload, scale, offset = pack_feats(b.feats, self.transport)
+        D = b.feats.shape[-1]
+        if scale is None:
+            scale = np.ones(D, np.float32)
+            offset = np.zeros(D, np.float32)
+        return (jnp.asarray(payload), jnp.asarray(scale),
+                jnp.asarray(offset), labels, in_lens, lab_lens)
+
     def train_epoch(self, params, velocity, batches: Iterator,
                     learn_rate: float,
                     reporter: Optional[LossReporter] = None):
+        from kaldi_aslp_tpu.data.prefetch import DevicePrefetcher
         reporter = reporter or LossReporter("ctc")
         lr = jnp.asarray(learn_rate, jnp.float32)
-        for b in batches:
+        for dev in DevicePrefetcher(batches, transform=self._upload):
             self._rng_counter += 1
             rng = jax.random.fold_in(self._base_rng, self._rng_counter)
             params, velocity, loss, aux = self._step(
-                params, velocity, jnp.asarray(b.feats),
-                jnp.asarray(b.labels), jnp.asarray(b.input_lengths),
-                jnp.asarray(b.label_lengths), jnp.asarray(b.frame_mask),
-                lr, rng,
+                params, velocity, *dev, lr, rng,
             )
             reporter.update(
                 {"frames": aux["frames"], "loss_sum": aux["loss_sum"]}

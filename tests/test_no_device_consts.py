@@ -111,6 +111,15 @@ def test_trainer_steps_capture_no_device_arrays():
         jnp.ones((S, U), jnp.int32), jnp.full(S, T, jnp.int32),
         jnp.full(S, U, jnp.int32), jnp.ones((S, T)), lr, rng)
 
+    for tr, payload in [("bf16", jnp.zeros((S, T, 8), jnp.bfloat16)),
+                        ("int8", jnp.zeros((S, T, 8), jnp.int8))]:
+        ctt = CtcTrainer(net, NnetTrainOptions(momentum=0.9), transport=tr)
+        assert not device_consts(
+            ctt._make_step(), params, velocity, payload,
+            jnp.ones(8), jnp.zeros(8),
+            jnp.ones((S, U), jnp.int32), jnp.full(S, T, jnp.int32),
+            jnp.full(S, U, jnp.int32), lr, rng)
+
 
 def test_bench_flagship_step_captures_no_device_arrays():
     import sys
