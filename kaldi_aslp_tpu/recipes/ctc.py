@@ -56,6 +56,9 @@ class CtcRecipeOptions(Config):
     # average (reference: aslp-nnet-forward --class-frame-counts +
     # --scale-blank roles); 0 disables
     prior_scale: float = 1.0
+    # feature bytes over the host->device link (data/transport.py):
+    # f32 passthrough | bf16 | int8
+    transport: str = "f32"
 
 
 class CtcRecipe:
@@ -90,7 +93,9 @@ class CtcRecipe:
         net = self._build_net(dim, V)
         params = net.init(jax.random.PRNGKey(777))
         velocity = init_velocity(params)
-        trainer = CtcTrainer(net, NnetTrainOptions(momentum=opts.momentum))
+        trainer = CtcTrainer(net, NnetTrainOptions(momentum=opts.momentum),
+                             transport=opts.transport)
+        cache = trainer.make_cache()  # HBM replay from epoch 2 on
         sched = NewbobScheduler(
             work_dir, initial_lr=opts.learn_rate,
             opts=NewbobOptions(max_iters=opts.max_iters,
@@ -114,7 +119,8 @@ class CtcRecipe:
         best = params
         while not sched.done:
             params, velocity, rep = trainer.train_epoch(
-                best, velocity, tr_batches, sched.learn_rate
+                best, velocity, iter(tr_batches), sched.learn_rate,
+                cache=cache,
             )
             cv = trainer.evaluate(params, cv_batches)
             accepted = sched.report(cv.avg_loss)

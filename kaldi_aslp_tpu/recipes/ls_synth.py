@@ -52,7 +52,6 @@ from kaldi_aslp_tpu.train import (
     NnetTrainOptions,
     init_velocity,
 )
-from kaldi_aslp_tpu.data.prefetch import DevicePrefetcher
 from kaldi_aslp_tpu.data.sequence import CtcBatcher, CtcBatcherOptions
 from kaldi_aslp_tpu.ops.edit_distance import score_utterances
 from kaldi_aslp_tpu.recipes.rm_synth import (
@@ -141,7 +140,11 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
                             bias_range=0.0))
     params = net.init(jax.random.PRNGKey(777))
     velocity = init_velocity(params)
-    trainer = CtcTrainer(net, NnetTrainOptions(momentum=0.9))
+    # bf16 feature transport on the byte-bound tunnel link; HBM epoch
+    # cache replays the (fixed) batch set at device speed from epoch 2
+    trainer = CtcTrainer(net, NnetTrainOptions(momentum=0.9),
+                         transport="bf16" if on_tpu else "f32")
+    cache = trainer.make_cache()
     sched = NewbobScheduler(
         os.path.join(root, "train"),
         initial_lr=learn_rate,
@@ -177,8 +180,8 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
     t_train = time.time()
     while not sched.done:
         params, velocity, rep = trainer.train_epoch(
-            best, velocity, DevicePrefetcher(tr_batches, depth=2),
-            sched.learn_rate)
+            best, velocity, iter(tr_batches), sched.learn_rate,
+            cache=cache)
         cv = trainer.evaluate(params, cv_batches)
         accepted = sched.report(cv.avg_loss)
         frames_done += sum(int(b.input_lengths.sum())

@@ -198,13 +198,24 @@ class CtcTrainer:
         return (jnp.asarray(payload), jnp.asarray(scale),
                 jnp.asarray(offset), labels, in_lens, lab_lens)
 
+    def make_cache(self, max_bytes: Optional[int] = None, **kw):
+        """HBM-resident epoch cache bound to this trainer's transport
+        (see data/device_cache.py); pass it to train_epoch."""
+        from kaldi_aslp_tpu.data.device_cache import DeviceEpochCache
+        return DeviceEpochCache(self._upload, max_bytes=max_bytes, **kw)
+
     def train_epoch(self, params, velocity, batches: Iterator,
                     learn_rate: float,
-                    reporter: Optional[LossReporter] = None):
+                    reporter: Optional[LossReporter] = None,
+                    cache=None):
         from kaldi_aslp_tpu.data.prefetch import DevicePrefetcher
         reporter = reporter or LossReporter("ctc")
         lr = jnp.asarray(learn_rate, jnp.float32)
-        for dev in DevicePrefetcher(batches, transform=self._upload):
+        if cache is not None:
+            source = DevicePrefetcher(cache.epoch(batches))
+        else:
+            source = DevicePrefetcher(batches, transform=self._upload)
+        for dev in source:
             self._rng_counter += 1
             rng = jax.random.fold_in(self._base_rng, self._rng_counter)
             params, velocity, loss, aux = self._step(

@@ -35,6 +35,10 @@ def test_progress_loss_lines_and_log_analyse(tmp_path, capsys):
         for k in range(6):
             rep.update({"frames": 60.0,
                         "loss_sum": 60.0 * (3.0 - k * 0.4)})
+        # updates are lazily drained (device fetches are deferred up to
+        # MAX_PENDING batches); reading any aggregate emits the pending
+        # ProgressLoss lines, as report() does at epoch end
+        rep.frames
     finally:
         logger.removeHandler(cap)
     lines = [r.getMessage() for r in cap.records
