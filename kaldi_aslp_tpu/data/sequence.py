@@ -192,7 +192,16 @@ class CtcBatcher:
             U = _round_up(max(max(len(l) for _, _, l in items), 1),
                           opts.bucket_labels)
             D = items[0][1].shape[1]
-            feats = np.zeros((S, T, D), np.float32)
+            # feature padding via the native single-pass assembler when
+            # available (the data-reader.cc stream-fill role,
+            # native/batch_pack.cc); numpy loop otherwise
+            from kaldi_aslp_tpu import native
+            packed = native.pad_pack([f for _, f, _ in items], T, "f32")
+            feats = packed[0] if packed is not None else None
+            if feats is None:
+                feats = np.zeros((S, T, D), np.float32)
+                for i, (_, f, _) in enumerate(items):
+                    feats[i, :len(f)] = f
             labels = np.zeros((S, U), np.int32)
             in_lens = np.zeros((S,), np.int32)
             lab_lens = np.zeros((S,), np.int32)
@@ -200,7 +209,6 @@ class CtcBatcher:
             keys = []
             for i, (k, f, l) in enumerate(items):
                 keys.append(k)
-                feats[i, :len(f)] = f
                 labels[i, :len(l)] = l
                 in_lens[i] = len(f)
                 lab_lens[i] = len(l)

@@ -43,20 +43,39 @@ def mask_from_lengths(in_lens: jnp.ndarray, T: int) -> jnp.ndarray:
     return (t < in_lens.astype(jnp.int32)[:, None]).astype(jnp.float32)
 
 
-def pack_feats(feats: np.ndarray, transport: str
+def pack_feats(feats: np.ndarray, transport: str,
+               in_lens: Optional[np.ndarray] = None
                ) -> Tuple[np.ndarray, Optional[np.ndarray],
                           Optional[np.ndarray]]:
     """Host-side cast/quantize.  Returns (payload, scale, offset); the
-    scale/offset are None except for int8 (where they are [D] f32)."""
+    scale/offset are None except for int8 (where they are [D] f32).
+
+    ``in_lens`` (for padded [S, T, D] input) restricts the int8
+    quantization statistics to real frames — padding zeros would
+    otherwise pollute the per-dim range.  Padding bytes are arbitrary
+    by contract: unpack_feats re-zeroes them from the lengths.  The
+    fused native pad+quantize (native/batch_pack.cc) is used when the
+    C++ library is available."""
     if transport == "f32":
         return np.asarray(feats, np.float32), None, None
     if transport == "bf16":
         return np.asarray(feats).astype(ml_dtypes.bfloat16), None, None
     if transport == "int8":
         f = np.asarray(feats, np.float32)
-        flat = f.reshape(-1, f.shape[-1])
-        lo = flat.min(axis=0)
-        hi = flat.max(axis=0)
+        if f.ndim == 3 and in_lens is not None:
+            from kaldi_aslp_tpu import native
+            lens = np.asarray(in_lens, np.int64)
+            packed = native.pad_pack(
+                [f[s, :lens[s]] for s in range(f.shape[0])],
+                f.shape[1], "int8")
+            if packed is not None:
+                return packed
+            real = np.concatenate(
+                [f[s, :lens[s]] for s in range(f.shape[0])])
+        else:
+            real = f.reshape(-1, f.shape[-1])
+        lo = real.min(axis=0)
+        hi = real.max(axis=0)
         scale = np.maximum(hi - lo, 1e-10).astype(np.float32) / 254.0
         offset = lo.astype(np.float32)
         q = np.rint((f - offset) / scale) - 127.0

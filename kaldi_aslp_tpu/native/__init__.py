@@ -32,18 +32,21 @@ class ArkEntryStruct(ctypes.Structure):
 
 
 def _build() -> Optional[str]:
-    src = os.path.join(os.path.dirname(__file__), "ark_scan.cc")
+    here = os.path.dirname(__file__)
+    srcs = [os.path.join(here, f)
+            for f in ("ark_scan.cc", "batch_pack.cc")]
     cache = os.path.join(
         os.path.expanduser("~"), ".cache", "kaldi_aslp_tpu"
     )
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "libark_scan.so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+    so = os.path.join(cache, "libkaldi_aslp_native.so")
+    if os.path.exists(so) and all(
+            os.path.getmtime(so) >= os.path.getmtime(s) for s in srcs):
         return so
     for cxx in ("c++", "g++", "clang++"):
         try:
             subprocess.run(
-                [cxx, "-O2", "-shared", "-fPIC", "-o", so, src],
+                [cxx, "-O2", "-shared", "-fPIC", "-o", so] + srcs,
                 check=True, capture_output=True,
             )
             return so
@@ -70,8 +73,73 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float),
             ]
+            PF = ctypes.POINTER(ctypes.c_float)
+            PI = ctypes.POINTER(ctypes.c_int32)
+            lib.pad_batch_f32.restype = None
+            lib.pad_batch_f32.argtypes = [
+                ctypes.POINTER(PF), PI, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, PF,
+            ]
+            lib.pad_batch_bf16.restype = None
+            lib.pad_batch_bf16.argtypes = [
+                ctypes.POINTER(PF), PI, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_uint16),
+            ]
+            lib.pad_batch_int8.restype = None
+            lib.pad_batch_int8.argtypes = [
+                ctypes.POINTER(PF), PI, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int8), PF, PF,
+            ]
             _LIB = lib
     return _LIB
+
+
+def _row_ptrs(arrays):
+    PF = ctypes.POINTER(ctypes.c_float)
+    ptrs = (PF * len(arrays))()
+    for i, a in enumerate(arrays):
+        ptrs[i] = a.ctypes.data_as(PF)
+    return ptrs
+
+
+def pad_pack(feats_list, Tmax: int, mode: str = "f32"):
+    """Fused pad(+cast/quantize) of per-utterance [T_i, D] float32
+    matrices into one [S, Tmax, D] buffer (the data-reader.cc stream
+    assembly role).  Returns (payload, scale, offset) — scale/offset
+    are None except int8 — or None when no native library is available
+    (callers fall back to numpy)."""
+    lib = get_lib()
+    if lib is None:  # pragma: no cover - toolchain present in CI
+        return None
+    feats_list = [np.ascontiguousarray(f, np.float32) for f in feats_list]
+    S = len(feats_list)
+    D = feats_list[0].shape[1]
+    lens = np.asarray([len(f) for f in feats_list], np.int32)
+    ptrs = _row_ptrs(feats_list)
+    lens_p = lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    if mode == "f32":
+        out = np.empty((S, Tmax, D), np.float32)
+        lib.pad_batch_f32(ptrs, lens_p, S, Tmax, D,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out, None, None
+    if mode == "bf16":
+        import ml_dtypes
+        out = np.empty((S, Tmax, D), np.uint16)
+        lib.pad_batch_bf16(
+            ptrs, lens_p, S, Tmax, D,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        return out.view(ml_dtypes.bfloat16), None, None
+    if mode == "int8":
+        out = np.empty((S, Tmax, D), np.int8)
+        scale = np.empty(D, np.float32)
+        offset = np.empty(D, np.float32)
+        lib.pad_batch_int8(
+            ptrs, lens_p, S, Tmax, D,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            offset.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out, scale, offset
+    raise ValueError(f"unknown mode {mode!r}")
 
 
 KIND_FM, KIND_DM, KIND_FV, KIND_IV = 1, 2, 3, 4

@@ -190,7 +190,8 @@ class CtcTrainer:
         if self.transport == "f32":
             return (jnp.asarray(b.feats), labels, in_lens, lab_lens,
                     jnp.asarray(b.frame_mask))
-        payload, scale, offset = pack_feats(b.feats, self.transport)
+        payload, scale, offset = pack_feats(b.feats, self.transport,
+                                            b.input_lengths)
         D = b.feats.shape[-1]
         if scale is None:
             scale = np.ones(D, np.float32)

@@ -88,3 +88,61 @@ def test_fast_ark_speedup_many_entries(tmp_path, rng):
     t_python, total_py = min(time_python() for _ in range(3))
     assert total_native == total_py
     assert t_native < t_python, (t_native, t_python)
+
+
+def test_pad_pack_f32_matches_numpy(rng=np.random.RandomState(5)):
+    from kaldi_aslp_tpu import native
+
+    feats = [rng.randn(int(rng.randint(3, 9)), 4).astype(np.float32)
+             for _ in range(5)]
+    T = 10
+    packed = native.pad_pack(feats, T, "f32")
+    assert packed is not None, "native toolchain should be available"
+    out, scale, offset = packed
+    assert scale is None and offset is None
+    ref = np.zeros((5, T, 4), np.float32)
+    for i, f in enumerate(feats):
+        ref[i, :len(f)] = f
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pad_pack_bf16_matches_ml_dtypes(rng=np.random.RandomState(6)):
+    import ml_dtypes
+    from kaldi_aslp_tpu import native
+
+    feats = [rng.randn(7, 8).astype(np.float32) * 100 for _ in range(3)]
+    out, _, _ = native.pad_pack(feats, 8, "bf16")
+    assert out.dtype == ml_dtypes.bfloat16
+    ref = np.zeros((3, 8, 8), np.float32)
+    for i, f in enumerate(feats):
+        ref[i, :len(f)] = f
+    np.testing.assert_array_equal(out.view(np.uint16),
+                                  ref.astype(ml_dtypes.bfloat16)
+                                  .view(np.uint16))
+
+
+def test_pad_pack_int8_matches_transport_contract(
+        rng=np.random.RandomState(7)):
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu import native
+    from kaldi_aslp_tpu.data.transport import unpack_feats
+
+    lens = [9, 5, 12]
+    feats = [(rng.randn(n, 6) * 3 + rng.randn(6) * 5).astype(np.float32)
+             for n in lens]
+    T = 12
+    out, scale, offset = native.pad_pack(feats, T, "int8")
+    assert out.dtype == np.int8 and scale.shape == (6,)
+    # stats over REAL frames only
+    real = np.concatenate(feats)
+    np.testing.assert_allclose(
+        scale, np.maximum(real.max(0) - real.min(0), 1e-10) / 254.0,
+        rtol=1e-6)
+    np.testing.assert_allclose(offset, real.min(0), rtol=1e-6)
+    deq = np.asarray(unpack_feats(
+        jnp.asarray(out), jnp.asarray(scale), jnp.asarray(offset),
+        jnp.asarray(np.asarray(lens, np.int32))))
+    for s, n in enumerate(lens):
+        err = np.abs(deq[s, :n] - feats[s])
+        assert (err <= scale[None, :] * 0.51 + 1e-6).all()
+        np.testing.assert_array_equal(deq[s, n:], 0.0)
