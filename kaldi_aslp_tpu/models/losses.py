@@ -184,13 +184,26 @@ class LossReporter:
 
     def _drain(self) -> None:
         pending, self._pending = self._pending, []
-        for aux in pending:
-            f = float(aux["frames"])
-            loss = float(np.asarray(aux.get("loss_sum", 0.0)))
+        if not pending:
+            return
+        # one stacked fetch per key, not one round trip per batch: a
+        # scalar fetch costs a full tunnel RTT (~50 ms), so fetching 64
+        # pending batches' scalars individually would cost seconds
+        cols: Dict[str, np.ndarray] = {}
+        for k in ("frames", "loss_sum", "accuracy"):
+            vals = [aux.get(k) for aux in pending]
+            if all(v is None for v in vals):
+                continue
+            filled = [jnp.asarray(0.0 if v is None else v,
+                                  jnp.float32) for v in vals]
+            cols[k] = np.asarray(jnp.stack(filled))
+        for i, aux in enumerate(pending):
+            f = float(cols["frames"][i])
+            loss = float(cols["loss_sum"][i]) if "loss_sum" in aux else 0.0
             self._loss_sum += loss
             self._frames += f
             if "accuracy" in aux:
-                self._correct += float(aux["accuracy"]) * f
+                self._correct += float(cols["accuracy"][i]) * f
             if self._frames > 0:
                 self._progress.append(self._loss_sum / self._frames)
             # progressive loss line every progress_step frames, last-field
