@@ -70,10 +70,8 @@ def _build_flagship():
     params = net.init(jax.random.PRNGKey(0))
     velocity = init_velocity(params)
     update = make_sgd_update(net, NnetTrainOptions(momentum=0.9))
-    # python float, NOT jnp.asarray: a jit that closes over a device
-    # array (even a scalar) permanently degrades axon-tunnel H2D from
-    # ~1.3 GB/s to ~40 MB/s for the process — this single line was the
-    # whole corpus-fed vs synthetic throughput gap (see CLAUDE.md)
+    # python float, NOT jnp.asarray: jits must not close over device
+    # arrays (tests/test_no_device_consts.py; CLAUDE.md invariant)
     lr = 0.0001
 
     @jax.jit
@@ -128,8 +126,8 @@ def bench_train():
                                                        velocity)
 
 
-def bench_train_corpus_fed(state, n_utts=512, repeats=2,
-                           transport="bf16"):
+def bench_train_corpus_fed(n_utts=512, repeats=2,
+                           transport="bf16", measure_cached=True):
     """Corpus-fed throughput: variable-length utterances through the
     REAL training loop (CtcBatcher bucketing → CtcTrainer.train_epoch
     with bf16 feature transport + DevicePrefetcher) — the honest number
@@ -182,6 +180,8 @@ def bench_train_corpus_fed(state, n_utts=512, repeats=2,
     frames = rep.frames  # drain = true barrier
     dt = time.perf_counter() - t0
     streaming = frames * FRAME_SHIFT_S / dt
+    if not measure_cached:
+        return streaming, None
 
     # steady-state epochs with the HBM-resident cache (epoch 2+ of real
     # newbob training: same data, zero host->device traffic —
@@ -277,14 +277,15 @@ def main():
     corpus_fed = corpus_cached = corpus_fed_int8 = None
     try:
         signal.alarm(1500)
-        corpus_fed, corpus_cached = bench_train_corpus_fed(state)
+        corpus_fed, corpus_cached = bench_train_corpus_fed()
     except Exception:
         corpus_fed = corpus_cached = None
     finally:
         signal.alarm(0)
     try:
         signal.alarm(1500)
-        corpus_fed_int8, _ = bench_train_corpus_fed(state, transport="int8")
+        corpus_fed_int8, _ = bench_train_corpus_fed(
+            transport="int8", measure_cached=False)
     except Exception:
         corpus_fed_int8 = None
     finally:

@@ -55,7 +55,8 @@ class DeviceEpochCache:
         self._max_bytes = max_bytes
         self._shuffle = shuffle
         self._rng = random.Random(seed)
-        self._cached: List[Any] = []
+        self._cached: List[Any] = []        # device batches, fill order
+        self._cached_pos: set = set()       # their positions in the stream
         self._filled = False
         self.bytes_cached = 0
         self.num_streamed_tail = 0  # batches past max_bytes (never cached)
@@ -69,21 +70,31 @@ class DeviceEpochCache:
 
         ``batches`` (host batches) is required for the first epoch and
         for the streamed tail of partially-cached datasets; replay-only
-        epochs may omit it."""
+        epochs may omit it.  An aborted fill pass (exception or an
+        abandoned iterator) rolls the cache back to empty so a retry
+        cannot duplicate the prefix."""
         if not self._filled:
             if batches is None:
                 raise ValueError("first epoch needs the host batch source")
-            for b in batches:
-                dev = self._upload(b)
-                if (self._max_bytes is None
-                        or self.bytes_cached + _nbytes(dev)
-                        <= self._max_bytes):
-                    self._cached.append(dev)
-                    self.bytes_cached += _nbytes(dev)
-                else:
-                    self.num_streamed_tail += 1
-                yield dev
-            self._filled = True
+            try:
+                for pos, b in enumerate(batches):
+                    dev = self._upload(b)
+                    if (self._max_bytes is None
+                            or self.bytes_cached + _nbytes(dev)
+                            <= self._max_bytes):
+                        self._cached.append(dev)
+                        self._cached_pos.add(pos)
+                        self.bytes_cached += _nbytes(dev)
+                    else:
+                        self.num_streamed_tail += 1
+                    yield dev
+                self._filled = True  # reached only on full consumption
+            finally:
+                # an aborted fill (exception, or the generator dropped
+                # mid-epoch) must not leave a half-built cache: a retry
+                # would append the whole stream again
+                if not self._filled:
+                    self.clear()
             return
         order = list(range(len(self._cached)))
         if self._shuffle:
@@ -96,13 +107,14 @@ class DeviceEpochCache:
                     f"{self.num_streamed_tail} batches exceeded max_bytes "
                     "on the first pass; replay epochs must pass the host "
                     "batch source so the streamed tail is not dropped")
-            for j, b in enumerate(batches):
-                if j < len(self._cached):
-                    continue  # cached prefix already replayed
+            for pos, b in enumerate(batches):
+                if pos in self._cached_pos:
+                    continue  # cached ones already replayed above
                 yield self._upload(b)
 
     def clear(self) -> None:
         self._cached = []
+        self._cached_pos = set()
         self._filled = False
         self.bytes_cached = 0
         self.num_streamed_tail = 0

@@ -59,7 +59,16 @@ def pack_feats(feats: np.ndarray, transport: str,
     if transport == "f32":
         return np.asarray(feats, np.float32), None, None
     if transport == "bf16":
-        return np.asarray(feats).astype(ml_dtypes.bfloat16), None, None
+        f = np.asarray(feats, np.float32)
+        if f.ndim == 3 and in_lens is not None:
+            from kaldi_aslp_tpu import native
+            lens = np.asarray(in_lens, np.int64)
+            packed = native.pad_pack(
+                [f[s, :lens[s]] for s in range(f.shape[0])],
+                f.shape[1], "bf16")
+            if packed is not None:
+                return packed
+        return f.astype(ml_dtypes.bfloat16), None, None
     if transport == "int8":
         f = np.asarray(feats, np.float32)
         if f.ndim == 3 and in_lens is not None:
@@ -91,9 +100,8 @@ def unpack_feats(payload: jnp.ndarray, scale: Optional[jnp.ndarray],
     exact 0.0 (quantization would otherwise leave `offset`-ish values
     there, and splice/conv layers read across frame boundaries)."""
     if payload.dtype == jnp.int8:
-        f = (payload.astype(jnp.float32) + 127.0) * scale[None, None, :] \
-            + offset[None, None, :]
-        if in_lens is not None:
+        f = (payload.astype(jnp.float32) + 127.0) * scale + offset
+        if in_lens is not None and f.ndim == 3:
             f = f * mask_from_lengths(in_lens, f.shape[1])[:, :, None]
         return f
     if payload.dtype == jnp.bfloat16:

@@ -114,6 +114,15 @@ def pad_pack(feats_list, Tmax: int, mode: str = "f32"):
     feats_list = [np.ascontiguousarray(f, np.float32) for f in feats_list]
     S = len(feats_list)
     D = feats_list[0].shape[1]
+    # the C side trusts these unconditionally (raw memcpy); a mismatch
+    # that the numpy fallback would raise on must not read/write OOB
+    for f in feats_list:
+        if f.ndim != 2 or f.shape[1] != D:
+            raise ValueError(
+                f"pad_pack: inconsistent feature dim {f.shape} vs D={D}")
+        if len(f) > Tmax:
+            raise ValueError(
+                f"pad_pack: utterance length {len(f)} exceeds Tmax={Tmax}")
     lens = np.asarray([len(f) for f in feats_list], np.int32)
     ptrs = _row_ptrs(feats_list)
     lens_p = lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))

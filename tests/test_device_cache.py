@@ -108,3 +108,56 @@ def test_trainer_cached_epochs_match_streaming():
     for a, b in zip(jax.tree_util.tree_leaves(p_stream),
                     jax.tree_util.tree_leaves(p_cache)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6)
+
+
+def test_max_bytes_replay_keeps_positions_with_interleaved_sizes():
+    # a big batch in the MIDDLE overflows max_bytes; later small ones
+    # still cache — replay must keep stream positions straight (the
+    # round-2 review found b1 dropped / b2 duplicated here)
+    counter = [0]
+    cache = DeviceEpochCache(_upload_counting(counter),
+                             max_bytes=3 * 4 * 4, shuffle=False)
+    data = [np.full((2, 2), 0.0), np.full((40, 2), 1.0),
+            np.full((2, 2), 2.0), np.full((2, 2), 3.0)]
+    list(cache.epoch(iter(data)))
+    assert cache.num_streamed_tail == 1  # only the big one streamed
+    out = [float(np.asarray(t[0]).ravel()[0])
+           for t in cache.epoch(iter(data))]
+    assert sorted(out) == [0.0, 1.0, 2.0, 3.0]
+    assert out[:3] == [0.0, 2.0, 3.0]  # cached prefix in cache order
+    assert out[3] == 1.0               # streamed tail re-uploaded
+
+
+def test_aborted_fill_epoch_rolls_back():
+    counter = [0]
+    cache = DeviceEpochCache(_upload_counting(counter), shuffle=False)
+    data = [np.full((2, 2), i) for i in range(5)]
+    it = cache.epoch(iter(data))
+    next(it); next(it)
+    it.close()  # consumer abandons the epoch mid-way
+    assert not cache.filled and cache.bytes_cached == 0
+    # a retry fills cleanly with no duplicated prefix
+    assert len(list(cache.epoch(iter(data)))) == 5
+    assert cache.filled
+    assert len(list(cache.epoch())) == 5
+
+
+def test_aborted_fill_epoch_on_exception_rolls_back():
+    cache = DeviceEpochCache(lambda b: (jnp.asarray(b),), shuffle=False)
+
+    def bad_source():
+        yield np.zeros((2, 2), np.float32)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        list(cache.epoch(bad_source()))
+    assert not cache.filled and cache.bytes_cached == 0
+
+
+def test_native_pad_pack_rejects_bad_shapes():
+    from kaldi_aslp_tpu import native
+    good = np.zeros((3, 4), np.float32)
+    with pytest.raises(ValueError):
+        native.pad_pack([good, np.zeros((3, 5), np.float32)], 8, "f32")
+    with pytest.raises(ValueError):
+        native.pad_pack([np.zeros((9, 4), np.float32)], 8, "f32")
