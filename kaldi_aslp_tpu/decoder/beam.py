@@ -91,16 +91,35 @@ class CsrGraph:
 
         em_ptr, em_ids = csr(g.ilabel > 0)
         ep_ptr, ep_ids = csr(g.ilabel == 0)
+
+        def family(ids, tid):
+            """Arc field arrays; an empty family gets one unreachable
+            sentinel arc (no row_ptr covers index 0, so it is never a
+            candidate) — zero-length arrays break XLA's gathers."""
+            if len(ids):
+                return (g.dst[ids].astype(np.int32),
+                        g.ilabel[ids].astype(np.int32) if tid else
+                        g.olabel[ids].astype(np.int32),
+                        g.olabel[ids].astype(np.int32),
+                        g.weight[ids].astype(np.float32),
+                        ids.astype(np.int32))
+            return (np.asarray([g.start], np.int32),
+                    np.zeros(1, np.int32), np.zeros(1, np.int32),
+                    np.asarray([1e30], np.float32),
+                    np.zeros(1, np.int32))
+
+        em_dst, em_tid, em_ol, em_w, em_arc = family(em_ids, True)
+        ep_dst, _, ep_ol, ep_w, ep_arc = family(ep_ids, False)
         return cls(
-            em_row_ptr=em_ptr, em_dst=g.dst[em_ids].astype(np.int32),
-            em_tid=g.ilabel[em_ids].astype(np.int32),
-            em_olabel=g.olabel[em_ids].astype(np.int32),
-            em_weight=g.weight[em_ids].astype(np.float32),
-            em_arc=em_ids,
-            ep_row_ptr=ep_ptr, ep_dst=g.dst[ep_ids].astype(np.int32),
-            ep_olabel=g.olabel[ep_ids].astype(np.int32),
-            ep_weight=g.weight[ep_ids].astype(np.float32),
-            ep_arc=ep_ids,
+            em_row_ptr=em_ptr, em_dst=em_dst,
+            em_tid=em_tid,
+            em_olabel=em_ol,
+            em_weight=em_w,
+            em_arc=em_arc,
+            ep_row_ptr=ep_ptr, ep_dst=ep_dst,
+            ep_olabel=ep_ol,
+            ep_weight=ep_w,
+            ep_arc=ep_arc,
             final=np.asarray(g.final, np.float32), start=int(g.start),
             num_states=S, eps_diameter=int(g.eps_diameter), packed=g,
         )
@@ -614,13 +633,22 @@ class BeamSearchDecoder:
         T = len(ll)
         states, scores, init_bp, arc_planes, slot_planes, recs = \
             self._run(ll, True)
-        k, best_score, _ = self._best_final(states, scores)
+        k, best_score, is_final = self._best_final(states, scores)
         words, ali = self._backtrace(
             k, T, init_bp, arc_planes, slot_planes)
-        lat = self._build_lattice(ll, recs, best_score, lattice_beam)
+        # when NO surviving token sits on a real final state, the
+        # reference emits the lattice anyway, treating all last-frame
+        # tokens as final with zero cost (GetRawLattice with
+        # use_final_probs=false, lattice-faster-decoder.h:96-364);
+        # without this the backward pass from graph finals is empty and
+        # the whole utterance would produce a path-less lattice
+        pseudo = None if is_final else (states, scores)
+        lat = self._build_lattice(ll, recs, best_score, lattice_beam,
+                                  pseudo_finals=pseudo)
         return words, ali, best_score, lat
 
-    def _build_lattice(self, loglikes, recs, best_score, lattice_beam):
+    def _build_lattice(self, loglikes, recs, best_score, lattice_beam,
+                       pseudo_finals=None):
         """Sparse forward-backward over recorded arcs.
 
         Records give, per frame and stage, candidate arcs surviving the
@@ -723,15 +751,22 @@ class BeamSearchDecoder:
                                       w0 + w_a, ac))
 
         # final costs + eps-suffix folding at time T
-        finals = {s: float(c) for s, c in enumerate(self.graph.final)
-                  if np.isfinite(c)}
-        clo_T = closures.get(T, {})
-        for u, reach in clo_T.items():
-            for v, (w0, _words) in reach.items():
-                if v in finals:
-                    cand = w0 + finals[v]
-                    if cand < finals.get(u, np.inf):
-                        finals[u] = cand
+        if pseudo_finals is not None:
+            # no real final reached: every surviving last-frame token is
+            # final at zero cost (GetRawLattice use_final_probs=false)
+            fstates, fscores = pseudo_finals
+            finals = {int(s): 0.0 for s, c in zip(fstates, fscores)
+                      if s >= 0 and c > NEG_INF / 2}
+        else:
+            finals = {s: float(c) for s, c in enumerate(self.graph.final)
+                      if np.isfinite(c)}
+            clo_T = closures.get(T, {})
+            for u, reach in clo_T.items():
+                for v, (w0, _words) in reach.items():
+                    if v in finals:
+                        cand = w0 + finals[v]
+                        if cand < finals.get(u, np.inf):
+                            finals[u] = cand
 
         # sparse forward-backward prune at lattice_beam
         fwd: List[Dict[int, float]] = [dict() for _ in range(T + 1)]

@@ -33,6 +33,7 @@ from kaldi_aslp_tpu.decoder.viterbi import (
     _viterbi_scan,
 )
 from kaldi_aslp_tpu.ops.edit_distance import ErrorStats, score_utterances
+from kaldi_aslp_tpu.utils.log import get_logger
 
 
 # ---------------------------------------------------------------------------
@@ -262,13 +263,26 @@ def score_lmwt_sweep(
 ) -> Dict[int, ErrorStats]:
     """(reference: score_basic.sh) — best-path per LMWT, WER each."""
     out: Dict[int, ErrorStats] = {}
+    warned: set = set()
     for lmwt in lmwt_range:
         hyps = {}
         for utt, lat in lattices.items():
-            words, _ = lattice_best_path(
-                lat, acoustic_scale=acoustic_scale_base / lmwt,
-                lm_scale=1.0,
-            )
+            try:
+                words, _ = lattice_best_path(
+                    lat, acoustic_scale=acoustic_scale_base / lmwt,
+                    lm_scale=1.0,
+                )
+            except RuntimeError:
+                # empty/path-less lattice: score an empty hypothesis
+                # instead of aborting the whole sweep (the reference's
+                # lattice-best-path warns "No output for utterance" and
+                # the scoring counts every ref word as a deletion)
+                words = []
+                if utt not in warned:
+                    warned.add(utt)
+                    get_logger("lattice").warning(
+                        "no complete path in lattice for %s; "
+                        "scoring empty hypothesis", utt)
             hyps[utt] = words
         out[lmwt] = score_utterances(refs, hyps)
     return out

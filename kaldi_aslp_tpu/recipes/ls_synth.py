@@ -34,7 +34,7 @@ from kaldi_aslp_tpu.feats import (
     FrameExtractionOptions,
     MelBanksOptions,
     acc_cmvn_stats,
-    apply_cmvn,
+
 )
 from kaldi_aslp_tpu.fst import Lang, Lexicon
 from kaldi_aslp_tpu.fst.lang import arpa_to_fst
@@ -70,16 +70,21 @@ BUCKET_T = 192  # one XLA shape: utterances < 5.1 s at the 30ms LFR rate
 
 def extract_fbank(waves: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """40-dim fbank + global CMVN (the NN front end of the reference
-    chain, make_feats.sh fbank variant)."""
+    chain, make_feats.sh fbank variant).  Batched extraction: one
+    device program per length bucket instead of two ~50 ms round trips
+    per utterance (feats/batch.py), and the global CMVN subtract runs
+    on host."""
+    from kaldi_aslp_tpu.feats.batch import compute_batched
+
     fbank = Fbank(FrameExtractionOptions(samp_freq=SAMP_FREQ, dither=0.0),
                   MelBanksOptions(num_bins=40))
-    raw, stats = {}, None
-    for u in sorted(waves):
-        f = np.asarray(fbank(waves[u]))
-        raw[u] = f
-        stats = acc_cmvn_stats(f, stats)
-    return {u: np.asarray(apply_cmvn(jnp.asarray(f), stats))
-            for u, f in raw.items()}
+    raw = compute_batched(fbank, waves)
+    stats = None
+    for u in sorted(raw):
+        stats = acc_cmvn_stats(raw[u], stats)
+    dim = stats.shape[1] - 1
+    mean = (stats[0, :dim] / stats[0, dim]).astype(np.float32)
+    return {u: f - mean for u, f in raw.items()}
 
 
 def phone_labels(lang: Lang, words: List[str]) -> np.ndarray:
@@ -93,7 +98,7 @@ def phone_labels(lang: Lang, words: List[str]) -> np.ndarray:
 def run(root: str = "exp_ls_synth", num_words: int = 1000,
         num_train: int = 1200, num_test: int = 100,
         layers: int = 3, proj: int = 320, cell: int = 512,
-        num_streams: int = 64, max_iters: int = 20,
+        num_streams: int = 64, max_iters: int = 48,
         rescore_text_mult: int = 20, bucket_t: int = BUCKET_T,
         max_len: int = 8, lattice_beam: float = 8.0,
         learn_rate: float = 0.01, lfr_skip: int = 3,
@@ -232,6 +237,22 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
     refs = {f"utt{i:04d}": [lang.words.id(w) for w in s]
             for i, s in enumerate(test_sents)}
     refs_sym = {f"utt{i:04d}": s for i, s in enumerate(test_sents)}
+
+    # greedy CTC phone error rate FIRST: model-quality signal before
+    # the (lattice-size-sensitive) decode stage runs
+    hyp_phones = {}
+    ref_phones = {}
+    for u in sorted(test_feats):
+        ids = posteriors(test_feats[u]).argmax(-1)
+        col = [int(x) for x in ids]
+        dedup = [x for i, x in enumerate(col)
+                 if x != 0 and (i == 0 or x != col[i - 1])]
+        hyp_phones[u] = [str(x) for x in dedup]
+        ref_phones[u] = [str(x) for x in
+                         phone_labels(lang, refs_sym[u])]
+    per_stats = score_utterances(ref_phones, hyp_phones)
+    logger.info("greedy CTC PER %.2f%%", per_stats.wer)
+
     lats = {}
     t_dec = t_audio = 0.0
     for u in sorted(test_feats):
@@ -295,21 +316,6 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
     wer_large = sweep_big[best_big].wer
     logger.info("large-LM rescored WER %.2f%% @LMWT %d",
                 wer_large, best_big)
-
-    # oracle check: greedy CTC phone error rate
-    per_stats = None
-    hyp_phones = {}
-    ref_phones = {}
-    for u in sorted(test_feats):
-        ll = posteriors(test_feats[u])
-        ids = ll.argmax(-1)
-        col = [int(x) for x in ids]
-        dedup = [x for i, x in enumerate(col)
-                 if x != 0 and (i == 0 or x != col[i - 1])]
-        hyp_phones[u] = [str(x) for x in dedup]
-        ref_phones[u] = [str(x) for x in
-                         phone_labels(lang, refs_sym[u])]
-    per_stats = score_utterances(ref_phones, hyp_phones)
 
     logger.info("==== ls_synth results ====")
     logger.info("  greedy PER        %.2f%%", per_stats.wer)

@@ -248,3 +248,73 @@ def test_hub_state_cap_exact():
     assert score_b == pytest.approx(score_d, rel=1e-5)
     assert words_b == words_d
     np.testing.assert_array_equal(ali_b, ali_d)
+
+
+def test_lattice_pseudo_finals_when_no_final_reached():
+    """Utterance ends mid-word (no token on a real final state): the
+    lattice must still have complete paths, with every surviving
+    last-frame token treated as final at zero cost (reference:
+    LatticeFasterDecoder::GetRawLattice with use_final_probs=false,
+    src/decoder/lattice-faster-decoder.h:96-364)."""
+    npdf = 3
+    # 0 -a-> 1 -b-> 2(final), word-loop eps 2 -> 0; olabel 7 on arc a
+    g = PackedGraph(
+        src=np.asarray([0, 1, 2], np.int32),
+        dst=np.asarray([1, 2, 0], np.int32),
+        ilabel=np.asarray([1, 2, 0], np.int32),
+        olabel=np.asarray([7, 0, 0], np.int32),
+        weight=np.asarray([0.5, 0.5, 0.1], np.float32),
+        final=np.asarray([np.inf, np.inf, 0.0], np.float32),
+        start=0, num_states=3, eps_diameter=1)
+    lut = np.arange(-1, npdf, dtype=np.int32)
+    lut[0] = 0
+    dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                            acoustic_scale=1.0, beam=10.0,
+                            max_active=4, chunk=4)
+    ll = np.full((1, npdf + 1), -5.0, np.float32)
+    ll[0, 0] = -0.1  # pdf of tid 1 (lut[1]=0)
+    words, ali, score, lat = dec.decode_lattice(ll, lattice_beam=8.0)
+    # one frame: only arc a can fire; token sits on NON-final state 1
+    assert list(ali) == [1]
+    bp_words, bp_cost = lattice_best_path(lat)
+    assert bp_words == [7] == words
+    assert lat.final_costs.get(1) == 0.0  # pseudo-final at state 1
+
+
+def test_score_sweep_survives_empty_lattice():
+    from kaldi_aslp_tpu.decoder.lattice import (
+        Lattice,
+        score_lmwt_sweep,
+    )
+    empty = Lattice(2, [], 0, {})
+    sweep = score_lmwt_sweep({"u1": empty}, {"u1": [5, 6]},
+                             lmwt_range=range(1, 3))
+    for st in sweep.values():
+        assert st.wer == 100.0  # two deletions, no crash
+
+
+def test_beam_decode_graph_without_eps_arcs():
+    """A graph with NO eps arcs must still decode (the empty arc family
+    gets an unreachable sentinel — zero-length gathers break XLA)."""
+    npdf = 3
+    g = PackedGraph(
+        src=np.asarray([0, 1], np.int32),
+        dst=np.asarray([1, 2], np.int32),
+        ilabel=np.asarray([1, 2], np.int32),
+        olabel=np.asarray([7, 0], np.int32),
+        weight=np.asarray([0.5, 0.5], np.float32),
+        final=np.asarray([np.inf, np.inf, 0.0], np.float32),
+        start=0, num_states=3, eps_diameter=1)
+    lut = np.arange(-1, npdf, dtype=np.int32)
+    lut[0] = 0
+    dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                            acoustic_scale=1.0, beam=10.0,
+                            max_active=4, chunk=4)
+    ll = np.full((2, npdf + 1), -5.0, np.float32)
+    ll[0, 0] = -0.1
+    ll[1, 1] = -0.1
+    words, ali, score = dec.decode(ll)
+    assert words == [7] and list(ali) == [1, 2]
+    w2, a2, s2, lat = dec.decode_lattice(ll)
+    from kaldi_aslp_tpu.decoder.lattice import lattice_best_path as bp
+    assert bp(lat)[0] == [7]
