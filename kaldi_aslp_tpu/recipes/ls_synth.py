@@ -99,7 +99,8 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
         num_train: int = 1200, num_test: int = 100,
         layers: int = 3, proj: int = 320, cell: int = 512,
         num_streams: int = 64, max_iters: int = 48,
-        rescore_text_mult: int = 20, bucket_t: int = BUCKET_T,
+        rescore_text_mult: int = 40, lm_text_mult: int = 10,
+        bucket_t: int = BUCKET_T,
         max_len: int = 8, lattice_beam: float = 8.0,
         learn_rate: float = 0.01, lfr_skip: int = 3,
         keep_lr: int = 4):
@@ -124,9 +125,16 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
     logger.info("features ready: %d-dim fbank, %.0f s train audio "
                 "(%.0fs elapsed)", dim, tot_audio, time.time() - t_start)
 
-    # ---- LMs: small decode bigram (train text), large rescoring
-    # bigram (20x in-grammar text — the fglarge role) ----
-    arpa_small = bigram_arpa(train_sents, words)
+    # ---- LMs.  The reference protocol estimates decode LMs from
+    # EXTERNAL text far larger than the acoustic transcripts
+    # (egs/librispeech: 800M-word corpus vs 960h of transcripts); the
+    # synthetic analogue samples more text from the same word-pair
+    # grammar.  Measured: a decode bigram from the 1200 transcripts
+    # alone leaves most of the grammar's successor pairs unseen and the
+    # oracle (ideal-posterior) WER is ~58%; from a 10x pool it is 0%. ----
+    lm_text = make_sentences(words, lm_text_mult * num_train,
+                             seed=7, max_len=max_len)
+    arpa_small = bigram_arpa(lm_text, words)
     big_text = make_sentences(words, rescore_text_mult * num_train,
                               seed=123, max_len=max_len)
     arpa_large = bigram_arpa(big_text, words)
