@@ -297,14 +297,21 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
     # hypothesis for the stragglers
     clats = {}
     skipped = []
+    t_det = t_res = 0.0
     for u, lat in lats.items():
         try:
+            t0 = time.time()
             c = determinize_lattice_pruned(lat, prune=lattice_beam)
+            t_det += time.time() - t0
+            t0 = time.time()
             c = compact_lattice_lmrescore(c, G_small, lm_scale=-1.0)
             clats[u] = compact_lattice_lmrescore(c, G_large,
                                                  lm_scale=1.0)
+            t_res += time.time() - t0
         except DeterminizeFailed:
             skipped.append(u)
+    logger.info("rescore: determinize %.1fs, lmrescore %.1fs "
+                "over %d lattices", t_det, t_res, len(lats))
     if skipped:
         logger.warning("rescore exceeded work budget on %d lattices",
                        len(skipped))
