@@ -255,20 +255,28 @@ def determinize_lattice(lat: Lattice,
 
     def closure(elems: List[Element]):
         """Follow word-free arcs to quiescence; emit (next_word →
-        list of (element-after-consuming-that-word))."""
-        settled: Dict[Tuple, Element] = {}
+        list of (element-after-consuming-that-word)).
+
+        Elements are deduped per (node, pending) keeping the single
+        best (cost, alignment) — the lattice semiring keeps ONE
+        weight+string per subset state (reference: LatticeWeight Plus
+        = min by weight, lexicographic string tie-break,
+        lattice-weight.h).  Keying on the alignment string too made
+        the expansion exponential in self-loop alternations (measured:
+        66 s / 7M expansions on a 473-arc lattice)."""
         by_word: Dict[int, List[Element]] = {}
         final_elems: List[Element] = []
         stack = list(elems)
-        best_seen: Dict[Tuple, float] = {}
+        best_seen: Dict[Tuple, Tuple[float, Tuple[int, ...]]] = {}
         while stack:
             charge()
             node, pending, g, ac, tids = stack.pop()
-            key = (node, pending, tids)
+            key = (node, pending)
             tot = g + ac
-            if best_seen.get(key, np.inf) <= tot:
+            cur = best_seen.get(key)
+            if cur is not None and cur <= (tot, tids):
                 continue
-            best_seen[key] = tot
+            best_seen[key] = (tot, tids)
             if pending:
                 by_word.setdefault(pending[0], []).append(
                     (node, pending[1:], g, ac, tids))
@@ -290,6 +298,15 @@ def determinize_lattice(lat: Lattice,
     def normalize(elems: List[Element]):
         """Subtract best (g, ac) and common tid prefix → (det key,
         shifted elements, (g0, ac0, tids0))."""
+        # semiring dedup: one best (cost, alignment) per (node, pending)
+        bykey: Dict[Tuple, Element] = {}
+        for e in elems:
+            k = (e[0], e[1])
+            cur = bykey.get(k)
+            if cur is None or (e[2] + e[3], e[4]) < (cur[2] + cur[3],
+                                                     cur[4]):
+                bykey[k] = e
+        elems = list(bykey.values())
         best = min(elems, key=lambda e: e[2] + e[3])
         g0, ac0 = best[2], best[3]
         tids_list = [e[4] for e in elems]

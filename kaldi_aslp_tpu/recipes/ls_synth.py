@@ -271,6 +271,13 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
         t_audio += len(test_feats[u]) * 0.01
         lats[u] = lat
     rtf = t_dec / t_audio
+    # persist the lattices (reference: decode.sh writes lat.JOB.gz)
+    from kaldi_aslp_tpu.decoder.compact import lattice_to_state
+    from kaldi_aslp_tpu.io import lattice_writer
+    with lattice_writer(
+            f"ark:{os.path.join(root, 'lat.1.ark')}") as lw:
+        for u in sorted(lats):
+            lw[u] = lattice_to_state(lats[u])
     sweep = score_lmwt_sweep(lats, refs, lmwt_range=range(1, 16),
                              acoustic_scale_base=1.0)
     best_lmwt = min(sweep, key=lambda k: sweep[k].wer)
@@ -298,7 +305,10 @@ def run(root: str = "exp_ls_synth", num_words: int = 1000,
     clats = {}
     skipped = []
     t_det = t_res = 0.0
-    for u, lat in lats.items():
+    for ui, (u, lat) in enumerate(lats.items()):
+        if ui % 10 == 0:
+            logger.info("rescoring lattice %d/%d (det %.1fs res %.1fs)",
+                        ui, len(lats), t_det, t_res)
         try:
             t0 = time.time()
             c = determinize_lattice_pruned(lat, prune=lattice_beam)
