@@ -335,6 +335,30 @@ def _beam_scan(
     return (states, scores), outs
 
 
+@partial(jax.jit, static_argnames=("R",))
+def _compact_map_rec(planes, em_arc, ep_arc, R: int):
+    """[T, stages, A] CSR-position record planes → ([T, R] global arc
+    ids, overflow flag), all on device.  Stage 0 positions index the
+    emitting arc table, later stages the eps table; valid entries are
+    compacted to the front so only ~R ints per frame cross the host
+    boundary instead of stages x A."""
+    Tn, S_, A_ = planes.shape
+    mapped = []
+    for s in range(S_):
+        tbl = em_arc if s == 0 else ep_arc
+        p = planes[:, s, :]
+        mapped.append(jnp.where(
+            p >= 0, tbl[jnp.clip(p, 0, tbl.shape[0] - 1)], -1))
+    flat = jnp.concatenate(mapped, axis=1)          # [T, S*A]
+    valid = flat >= 0
+    order = jnp.argsort(~valid, axis=1, stable=True)[:, :R]
+    out = jnp.take_along_axis(flat, order, axis=1)
+    vtaken = jnp.take_along_axis(valid, order, axis=1)
+    out = jnp.where(vtaken, out, -1)
+    overflow = (valid.sum(axis=1) > R).any()
+    return out, overflow
+
+
 @partial(jax.jit, static_argnames=("stages",))
 def _backtrace_scan(arc_planes, slot_planes, start_slot, stages: int):
     """Device backtrace: walk the (time, stage) backpointer planes from
@@ -417,8 +441,13 @@ class BeamSearchDecoder:
             "em_pack": jnp.asarray(em_pack),
             "ep_se": jnp.asarray(se(graph.ep_row_ptr)),
             "ep_pack": jnp.asarray(ep_pack),
+            "em_arc": jnp.asarray(graph.em_arc),
+            "ep_arc": jnp.asarray(graph.ep_arc),
         }
         self.eps_rounds = max(graph.eps_diameter, 0)
+        # per-frame budget for the device-compacted lattice record
+        # fetch (decode_lattice); overflow falls back to the full plane
+        self.rec_budget = 1024
 
 
 
@@ -499,32 +528,6 @@ class BeamSearchDecoder:
             scores[i] = c
         return states, scores, bp
 
-    def _run(self, loglikes: np.ndarray, record_lattice: bool):
-        T = len(loglikes)
-        states, scores, init_bp = self._init_frontier()
-        st = jnp.asarray(states)
-        sc = jnp.asarray(scores)
-        planes_arc: List[np.ndarray] = []
-        planes_slot: List[np.ndarray] = []
-        recs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-        ll_dev, _Tp = self._pad_device(loglikes, T)
-        for t0 in range(0, T, self.chunk):
-            tc = min(self.chunk, T - t0)
-            (st, sc), outs = self._scan_chunk(
-                ll_dev, t0, T, st, sc, record_lattice)
-            planes_arc.append(np.asarray(outs[0])[:tc])
-            planes_slot.append(np.asarray(outs[1])[:tc])
-            if record_lattice:
-                recs.append((np.asarray(outs[3])[:tc],
-                             np.asarray(outs[4])[:tc],
-                             np.asarray(outs[5])[:tc]))
-        arc_planes = (self._map_plane_arcs(np.concatenate(planes_arc))
-                      if planes_arc else np.zeros((0, 1, self.K), np.int32))
-        slot_planes = (np.concatenate(planes_slot)
-                       if planes_slot else np.zeros((0, 1, self.K), np.int32))
-        return (np.asarray(st), np.asarray(sc), init_bp,
-                arc_planes, slot_planes, recs)
-
     def _best_final(self, states, scores):
         g = self.graph
         final = np.where(states >= 0,
@@ -593,49 +596,52 @@ class BeamSearchDecoder:
             s = int(g.src[a])
         return list(reversed(words_rev)), ali, score
 
-    def _backtrace(self, slot, T, init_bp, arc_planes, slot_planes):
-        g = self.graph.packed
-        ali = np.zeros(T, np.int32)
-        words_rev: List[int] = []
-        n_stages = arc_planes.shape[1] if T > 0 else 1
-        for t in range(T - 1, -1, -1):
-            for stage in range(n_stages - 1, -1, -1):
-                arc = int(arc_planes[t, stage, slot])
-                prev = int(slot_planes[t, stage, slot])
-                if prev < 0:
-                    raise RuntimeError(
-                        f"broken backpointer t={t} stage={stage}")
-                if arc >= 0:
-                    if g.olabel[arc] > 0:
-                        words_rev.append(int(g.olabel[arc]))
-                    if stage == 0:
-                        ali[t] = g.ilabel[arc]
-                slot = prev
-        # initial eps chain: walk host bp from the frame-0 entry state
-        # (the slot now indexes the initial frontier; recover its state)
-        states0, _, _ = self._init_frontier()
-        s = int(states0[slot])
-        while s in init_bp:
-            a = init_bp[s]
-            if g.olabel[a] > 0:
-                words_rev.append(int(g.olabel[a]))
-            s = int(g.src[a])
-        return list(reversed(words_rev)), ali
-
     # -- lattice generation -------------------------------------------
     def decode_lattice(self, loglikes: np.ndarray,
                        lattice_beam: float = 8.0
                        ) -> Tuple[List[int], np.ndarray, float, Lattice]:
         """Best path + pruned lattice from the surviving-arc records
         (reference: DecodeUtteranceLatticeFaster → GetRawLattice then
-        forward-backward prune at lattice_beam)."""
+        forward-backward prune at lattice_beam).
+
+        Device-resident like :meth:`decode`: backpointer planes never
+        cross the host boundary (device backtrace scan), and the
+        [T, stages, A] record planes are mapped to global arc ids and
+        compacted to ``rec_budget`` entries per frame ON DEVICE before
+        the one fetch — the full planes are ~13 MB per utterance, the
+        compacted record ~100 KB (tunnel D2H runs ~30 MB/s)."""
         ll = np.asarray(loglikes, np.float32)
         T = len(ll)
-        states, scores, init_bp, arc_planes, slot_planes, recs = \
-            self._run(ll, True)
+        states0, scores0, init_bp = self._init_frontier()
+        st = jnp.asarray(states0)
+        sc = jnp.asarray(scores0)
+        ll_dev, _Tp = self._pad_device(ll, T)
+        dev_arc, dev_slot, dev_rec = [], [], []
+        for t0 in range(0, T, self.chunk):
+            (st, sc), outs = self._scan_chunk(ll_dev, t0, T, st, sc, True)
+            dev_arc.append(outs[0])
+            dev_slot.append(outs[1])
+            dev_rec.append(outs[3])
+        states = np.asarray(st)
+        scores = np.asarray(sc)
         k, best_score, is_final = self._best_final(states, scores)
-        words, ali = self._backtrace(
-            k, T, init_bp, arc_planes, slot_planes)
+        if T == 0:
+            return [], np.zeros(0, np.int32), best_score, Lattice(
+                0, [], self.graph.start,
+                {s: float(c) for s, c in enumerate(self.graph.final)
+                 if np.isfinite(c)})
+        comp, overflow = _compact_map_rec(
+            jnp.concatenate(dev_rec), self._dev["em_arc"],
+            self._dev["ep_arc"], self.rec_budget)
+        if bool(overflow):
+            # rare: more surviving record entries than the budget —
+            # fall back to fetching + mapping the full planes
+            rec_arc = self._map_plane_arcs(
+                np.concatenate([np.asarray(r) for r in dev_rec])[:T])
+        else:
+            rec_arc = np.asarray(comp)[:T][:, None, :]
+        words, ali = self._backtrace_device(
+            dev_arc, dev_slot, k, T, states0, init_bp)
         # when NO surviving token sits on a real final state, the
         # reference emits the lattice anyway, treating all last-frame
         # tokens as final with zero cost (GetRawLattice with
@@ -643,11 +649,43 @@ class BeamSearchDecoder:
         # without this the backward pass from graph finals is empty and
         # the whole utterance would produce a path-less lattice
         pseudo = None if is_final else (states, scores)
-        lat = self._build_lattice(ll, recs, best_score, lattice_beam,
+        lat = self._build_lattice(ll, rec_arc, best_score, lattice_beam,
                                   pseudo_finals=pseudo)
         return words, ali, best_score, lat
 
-    def _build_lattice(self, loglikes, recs, best_score, lattice_beam,
+    def _backtrace_device(self, dev_arc, dev_slot, k, T, states0,
+                          init_bp):
+        """Shared device-side backtrace tail (see :meth:`decode`)."""
+        g = self.graph.packed
+        arc_planes = jnp.concatenate(dev_arc)
+        slot_planes = jnp.concatenate(dev_slot)
+        n_stages = arc_planes.shape[1]
+        final_slot, arcs_rev = _backtrace_scan(
+            arc_planes, slot_planes, k, n_stages)
+        arcs_rt = self._map_rev_arcs(np.asarray(arcs_rev))
+        final_slot = int(final_slot)
+        Tp = arcs_rt.shape[0]
+        ali = np.zeros(T, np.int32)
+        words_rev: List[int] = []
+        for t_rev in range(Tp):
+            frame = Tp - 1 - t_rev
+            for arc in arcs_rt[t_rev]:          # stage descending
+                arc = int(arc)
+                if arc < 0:
+                    continue
+                if g.olabel[arc] > 0:
+                    words_rev.append(int(g.olabel[arc]))
+                if g.ilabel[arc] > 0 and frame < T:
+                    ali[frame] = g.ilabel[arc]
+        s = int(states0[final_slot])
+        while s in init_bp:
+            a = init_bp[s]
+            if g.olabel[a] > 0:
+                words_rev.append(int(g.olabel[a]))
+            s = int(g.src[a])
+        return list(reversed(words_rev)), ali
+
+    def _build_lattice(self, loglikes, rec_arc, best_score, lattice_beam,
                        pseudo_finals=None):
         """Sparse forward-backward over recorded arcs.
 
@@ -667,9 +705,8 @@ class BeamSearchDecoder:
         T = len(loglikes)
         pdf = self.tid_to_pdf
         ll = np.asarray(loglikes)
-        rec_arc = (self._map_plane_arcs(
-            np.concatenate([r[0] for r in recs])) if recs else
-            np.zeros((0, 1, self.A), np.int32))
+        # rec_arc: [T, stages, N] GLOBAL arc ids, -1 padded (mapped and
+        # compacted on device by decode_lattice)
 
         # recorded arcs by time: eps arcs recorded in frame t happen at
         # time t+1; emitting arcs of frame t span t → t+1.  Vectorized:
@@ -693,45 +730,49 @@ class BeamSearchDecoder:
         eps_at[0] = sorted(set(eps_at[0])
                            | {int(a) for a in init_bp.values()})
 
-        def prefix_closure(eps_arcs):
+        def prefix_closure(eps_arcs, sources):
             """clo[u][v] = best (weight, words) eps path u→v over the
-            recorded eps arcs."""
-            nodes = set()
+            recorded eps arcs, computed ONLY from ``sources`` (states
+            that carry forward mass — rows for dead states cost the
+            same to build and contribute nothing; an all-pairs
+            relaxation here was ~half of the lattice-build time)."""
+            adj: Dict[int, List[Tuple[int, float, Tuple[int, ...]]]] = {}
             for a in eps_arcs:
-                nodes.add(int(g.src[a]))
-                nodes.add(int(g.dst[a]))
-            # relaxation to fixed point: clo[u][v] = best eps path u→v
-            clo: Dict[int, Dict[int, Tuple[float, Tuple[int, ...]]]] = {
-                u: {u: (0.0, ())} for u in nodes
-            }
-            for _ in range(max(self.eps_rounds, 1)):
-                changed = False
-                for a in eps_arcs:
-                    u0, v = int(g.src[a]), int(g.dst[a])
-                    w_a = float(g.weight[a])
-                    words_a = ((int(g.olabel[a]),)
-                               if g.olabel[a] > 0 else ())
-                    for u in nodes:
-                        hit = clo[u].get(u0)
-                        if hit is None:
-                            continue
-                        w, words = hit[0] + w_a, hit[1] + words_a
-                        cur = clo[u].get(v)
-                        if cur is None or w < cur[0]:
-                            clo[u][v] = (w, words)
-                            changed = True
-                if not changed:
-                    break
+                adj.setdefault(int(g.src[a]), []).append(
+                    (int(g.dst[a]), float(g.weight[a]),
+                     ((int(g.olabel[a]),) if g.olabel[a] > 0 else ())))
+            clo: Dict[int, Dict[int, Tuple[float, Tuple[int, ...]]]] = {}
+            for u in sources:
+                best = {u: (0.0, ())}
+                stack = [u]
+                while stack:
+                    x = stack.pop()
+                    bw, bwords = best[x]
+                    for (v, w_a, words_a) in adj.get(x, ()):
+                        w = bw + w_a
+                        cur = best.get(v)
+                        if cur is None or w < cur[0] - 1e-12:
+                            best[v] = (w, bwords + words_a)
+                            stack.append(v)
+                clo[u] = best
             return clo
 
-        closures = {t: prefix_closure(eps_at[t])
-                    for t in range(T + 1) if eps_at[t]}
-
-        # folded eps-free arcs per frame: (u, dst, tid, words,
-        # graph_cost, acoustic_cost)
+        # forward pass interleaved with eps folding: frame t's closure
+        # is computed only from states carrying forward mass, and only
+        # folded arcs with live sources are kept (exact — a dead-source
+        # arc can never survive the forward-backward prune)
+        fwd: List[Dict[int, float]] = [dict() for _ in range(T + 1)]
+        for s, c in zip(states0, scores0):
+            if s >= 0 and c > NEG_INF / 2:
+                fwd[0][int(s)] = max(fwd[0].get(int(s), -np.inf),
+                                     float(c))
         folded: List[List[Tuple]] = [[] for _ in range(T)]
         for t in range(T):
-            clo = closures.get(t, {})
+            live = fwd[t]
+            clo = (prefix_closure(eps_at[t], live.keys())
+                   if eps_at[t] and live else {})
+            nxt = fwd[t + 1]
+            out_t = folded[t]
             for a in em_at[t]:
                 srcs, d = int(g.src[a]), int(g.dst[a])
                 tid = int(g.ilabel[a])
@@ -739,14 +780,21 @@ class BeamSearchDecoder:
                 w_a = float(g.weight[a])
                 words_a = ((int(g.olabel[a]),)
                            if g.olabel[a] > 0 else ())
-                folded[t].append((srcs, d, tid, words_a, w_a, ac))
+                if srcs in live:
+                    out_t.append((srcs, d, tid, words_a, w_a, ac))
+                    sc_ = live[srcs] - w_a - self.acoustic_scale * ac
+                    if sc_ > nxt.get(d, -np.inf):
+                        nxt[d] = sc_
                 for u, reach in clo.items():
                     hit = reach.get(srcs)
                     if hit is None or u == srcs:
                         continue
                     w0, words0 = hit
-                    folded[t].append((u, d, tid, words0 + words_a,
-                                      w0 + w_a, ac))
+                    out_t.append((u, d, tid, words0 + words_a,
+                                  w0 + w_a, ac))
+                    sc_ = live[u] - w0 - w_a - self.acoustic_scale * ac
+                    if sc_ > nxt.get(d, -np.inf):
+                        nxt[d] = sc_
 
         # final costs + eps-suffix folding at time T
         if pseudo_finals is not None:
@@ -758,7 +806,8 @@ class BeamSearchDecoder:
         else:
             finals = {s: float(c) for s, c in enumerate(self.graph.final)
                       if np.isfinite(c)}
-            clo_T = closures.get(T, {})
+            clo_T = (prefix_closure(eps_at[T], fwd[T].keys())
+                     if eps_at[T] and fwd[T] else {})
             for u, reach in clo_T.items():
                 for v, (w0, _words) in reach.items():
                     if v in finals:
@@ -766,21 +815,6 @@ class BeamSearchDecoder:
                         if cand < finals.get(u, np.inf):
                             finals[u] = cand
 
-        # sparse forward-backward prune at lattice_beam
-        fwd: List[Dict[int, float]] = [dict() for _ in range(T + 1)]
-        for s, c in zip(states0, scores0):
-            if s >= 0 and c > NEG_INF / 2:
-                fwd[0][int(s)] = max(fwd[0].get(int(s), -np.inf),
-                                     float(c))
-        for t in range(T):
-            nxt = fwd[t + 1]
-            for (u, d, tid, words, w_gr, w_ac) in folded[t]:
-                base = fwd[t].get(u)
-                if base is None:
-                    continue
-                sc_ = base - w_gr - self.acoustic_scale * w_ac
-                if sc_ > nxt.get(d, -np.inf):
-                    nxt[d] = sc_
         bwd: List[Dict[int, float]] = [dict() for _ in range(T + 1)]
         for s, c in finals.items():
             bwd[T][s] = -c
