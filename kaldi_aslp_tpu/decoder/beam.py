@@ -252,8 +252,6 @@ def _beam_scan(
         stage_arc = []
         stage_slot = []
         rec_arc = []
-        rec_slot = []
-        rec_score = []
 
         # ---- stage 0: emitting arcs consume the acoustic frame ----
         # one row gather per arc: the packed [N, 4] layout turns four
@@ -275,14 +273,13 @@ def _beam_scan(
         stage_slot.append(jnp.where(chosen >= 0, picked[:, 1], -1))
         if record_lattice:
             # em planes are [A_em]; pad to the eps budget A so the
-            # per-stage record planes stack
+            # per-stage record planes stack.  Padding frames (~v_t)
+            # must record nothing: their replayed frontier would
+            # inflate the device-compaction overflow check and the
+            # host lattice build.
             pad = (0, A - A_em)
-            rec_arc.append(jnp.pad(jnp.where(ok, arc_pos, -1), pad,
-                                   constant_values=-1))
-            rec_slot.append(jnp.pad(jnp.where(ok, slot, -1), pad,
-                                    constant_values=-1))
-            rec_score.append(jnp.pad(jnp.where(ok, cand, NEG_INF), pad,
-                                     constant_values=NEG_INF))
+            rec_arc.append(jnp.pad(jnp.where(ok & v_t, arc_pos, -1),
+                                   pad, constant_values=-1))
         st, sc = nst, nsc
 
         # ---- eps stages: relax non-emitting arcs, merge with frontier
@@ -310,9 +307,7 @@ def _beam_scan(
                 chosen < 0, -1,
                 jnp.where(from_eps, epicked[:, 1], sel)))
             if record_lattice:
-                rec_arc.append(jnp.where(ok, arc_pos, -1))
-                rec_slot.append(jnp.where(ok, slot, -1))
-                rec_score.append(jnp.where(ok, cand_e, NEG_INF))
+                rec_arc.append(jnp.where(ok & v_t, arc_pos, -1))
             st, sc = nst, nsc
 
         # padding frames are no-ops; their backpointer planes are the
@@ -324,8 +319,7 @@ def _beam_scan(
             [jnp.where(v_t, s, ident) for s in stage_slot])
         out = (arcs_out, slots_out, sc)
         if record_lattice:
-            out = out + (jnp.stack(rec_arc), jnp.stack(rec_slot),
-                         jnp.stack(rec_score))
+            out = out + (jnp.stack(rec_arc),)
         st = jnp.where(v_t, st, carry[0])
         sc = jnp.where(v_t, sc, carry[1])
         return (st, sc), out
@@ -503,6 +497,11 @@ class BeamSearchDecoder:
 
     # -- initial frontier: start state + host eps closure --------------
     def _init_frontier(self):
+        # memoized: the graph is immutable and this host eps closure
+        # was recomputed 2-3x per decode_lattice call
+        cached = getattr(self, "_init_frontier_cache", None)
+        if cached is not None:
+            return cached
         g = self.graph
         score = {g.start: 0.0}
         bp: Dict[int, int] = {}
@@ -526,6 +525,7 @@ class BeamSearchDecoder:
         for i, (s, c) in enumerate(items):
             states[i] = s
             scores[i] = c
+        self._init_frontier_cache = (states, scores, bp)
         return states, scores, bp
 
     def _best_final(self, states, scores):
@@ -566,35 +566,24 @@ class BeamSearchDecoder:
             dev_slot.append(outs[1])
         k, score, _ = self._best_final(np.asarray(st), np.asarray(sc))
         if T == 0:
-            return [], np.zeros(0, np.int32), score
-        arc_planes = jnp.concatenate(dev_arc)
-        slot_planes = jnp.concatenate(dev_slot)
-        n_stages = arc_planes.shape[1]
-        final_slot, arcs_rev = _backtrace_scan(
-            arc_planes, slot_planes, k, n_stages)
-        arcs_rt = self._map_rev_arcs(np.asarray(arcs_rev))  # [Tp, st desc]
-        final_slot = int(final_slot)
+            words, ali = self._init_chain_words(k, states0, init_bp)
+            return words, ali, score
+        words, ali = self._backtrace_device(
+            dev_arc, dev_slot, k, T, states0, init_bp)
+        return words, ali, score
+
+    def _init_chain_words(self, slot, states0, init_bp):
+        """Words on the initial host eps chain ending at frontier slot
+        ``slot`` (the whole path for an empty utterance)."""
         g = self.graph.packed
-        Tp = arcs_rt.shape[0]
-        ali = np.zeros(T, np.int32)
         words_rev: List[int] = []
-        for t_rev in range(Tp):
-            frame = Tp - 1 - t_rev
-            for arc in arcs_rt[t_rev]:          # stage descending
-                arc = int(arc)
-                if arc < 0:
-                    continue
-                if g.olabel[arc] > 0:
-                    words_rev.append(int(g.olabel[arc]))
-                if g.ilabel[arc] > 0 and frame < T:
-                    ali[frame] = g.ilabel[arc]
-        s = int(states0[final_slot])
+        s = int(states0[slot])
         while s in init_bp:
             a = init_bp[s]
             if g.olabel[a] > 0:
                 words_rev.append(int(g.olabel[a]))
             s = int(g.src[a])
-        return list(reversed(words_rev)), ali, score
+        return list(reversed(words_rev)), np.zeros(0, np.int32)
 
     # -- lattice generation -------------------------------------------
     def decode_lattice(self, loglikes: np.ndarray,
@@ -626,10 +615,12 @@ class BeamSearchDecoder:
         scores = np.asarray(sc)
         k, best_score, is_final = self._best_final(states, scores)
         if T == 0:
-            return [], np.zeros(0, np.int32), best_score, Lattice(
-                0, [], self.graph.start,
-                {s: float(c) for s, c in enumerate(self.graph.final)
-                 if np.isfinite(c)})
+            words, ali = self._init_chain_words(k, states0, init_bp)
+            pseudo = None if is_final else (states, scores)
+            lat = self._build_lattice(
+                ll, np.zeros((0, 1, 1), np.int32), best_score,
+                lattice_beam, pseudo_finals=pseudo)
+            return words, ali, best_score, lat
         comp, overflow = _compact_map_rec(
             jnp.concatenate(dev_rec), self._dev["em_arc"],
             self._dev["ep_arc"], self.rec_budget)

@@ -508,31 +508,14 @@ def compact_lattice_lmrescore(clat: CompactLattice, G,
 
     closure_cache: Dict[int, Dict[int, float]] = {}
 
-    # per-state label index, cached on the G object: a bigram G's
-    # unigram/backoff state has ~vocabulary arcs, and a linear scan per
-    # consumed word made rescoring O(V) per lattice arc (measured: the
-    # rescore stage dominated the whole recipe)
-    label_idx = getattr(G, "_label_index_cache", None)
-    if label_idx is None:
-        label_idx = {}
-        G._label_index_cache = label_idx
-
-    def arcs_with(s: int, word: int):
-        d = label_idx.get(s)
-        if d is None:
-            d = {}
-            for a in G.arcs[s]:
-                d.setdefault(a.ilabel, []).append(a)
-            label_idx[s] = d
-        return d.get(word, ())
-
     def step_word(g0: int, word: int):
-        """All (g', lm_cost) after consuming ``word`` from g0."""
+        """All (g', lm_cost) after consuming ``word`` from g0 (indexed
+        arc lookup — see Fst.arcs_with_label)."""
         if g0 not in closure_cache:
             closure_cache[g0] = g_eps_closure(g0)
         out: Dict[int, float] = {}
         for s, c0 in closure_cache[g0].items():
-            for a in arcs_with(s, word):
+            for a in G.arcs_with_label(s, word):
                 c = c0 + a.weight
                 if c < out.get(a.nextstate, INF) - 1e-12:
                     out[a.nextstate] = c

@@ -107,27 +107,11 @@ def lm_score_words(G: Fst, words: Sequence[int]) -> float:
                             changed = True
         return scores
 
-    # per-state label index cached on G (a bigram's backoff state has
-    # ~vocabulary arcs; scanning them per consumed word is O(V))
-    label_idx = getattr(G, "_label_index_cache", None)
-    if label_idx is None:
-        label_idx = {}
-        G._label_index_cache = label_idx
-
-    def arcs_with(s, word):
-        d = label_idx.get(s)
-        if d is None:
-            d = {}
-            for a in G.arcs[s]:
-                d.setdefault(a.ilabel, []).append(a)
-            label_idx[s] = d
-        return d.get(word, ())
-
     best = eps_close(best)
     for word in words:
         nxt: Dict[int, float] = {}
         for s, w in best.items():
-            for a in arcs_with(s, word):
+            for a in G.arcs_with_label(s, word):
                 nw = w + a.weight
                 if nw < nxt.get(a.nextstate, INF):
                     nxt[a.nextstate] = nw

@@ -36,6 +36,7 @@ class Fst:
         self.arcs: List[List[Arc]] = []
         self.finals: Dict[int, float] = {}
         self.start: int = -1
+        self._label_index: Dict[int, Dict[int, List[Arc]]] = {}
 
     # -- construction -------------------------------------------------------
     def add_state(self) -> int:
@@ -44,6 +45,20 @@ class Fst:
 
     def add_arc(self, state: int, arc: Arc) -> None:
         self.arcs[state].append(arc)
+        self._label_index.pop(state, None)
+
+    def arcs_with_label(self, state: int, label: int):
+        """Arcs of ``state`` whose ilabel == label, via a lazily-built
+        per-state index (invalidated by add_arc).  A backoff LM's
+        unigram state carries ~vocabulary arcs; linear scans per
+        consumed word made lattice rescoring O(V) per arc."""
+        d = self._label_index.get(state)
+        if d is None:
+            d = {}
+            for a in self.arcs[state]:
+                d.setdefault(a.ilabel, []).append(a)
+            self._label_index[state] = d
+        return d.get(label, ())
 
     def set_start(self, s: int) -> None:
         self.start = s

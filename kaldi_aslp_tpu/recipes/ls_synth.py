@@ -8,8 +8,9 @@ fbank front end for the NN stage, lattice decode with a small LM, then
 lattice LM rescoring with a bigger LM, RESULTS:17/40 "fglarge"
 rescoring rows; the ASLP CTC chain aslp_scripts/ctc/ provides the
 phone-CTC variant): a 1000-word vocabulary over 25 phones, a bigram
-decode LM estimated from the training transcripts only, a "large" LM
-estimated from 20x more in-grammar text for rescoring, formant-
+decode LM estimated from a 10x external text pool (the protocol trains
+decode LMs on text far larger than the transcripts; see the LM comment
+in run()), a "large" LM from a 40x pool for rescoring, formant-
 synthesized audio, the 3x640 BLSTMP CTC flagship (Pallas training
 kernels on TPU), TLG beam-lattice decoding with an LMWT sweep
 (score_basic.sh role) and lattice-lmrescore with the large LM.
@@ -368,7 +369,7 @@ if __name__ == "__main__":
     if small:
         run(root, num_words=20, num_train=48, num_test=8, layers=1,
             proj=32, cell=48, num_streams=8, max_iters=45,
-            rescore_text_mult=2, bucket_t=128, max_len=4,
+            rescore_text_mult=8, lm_text_mult=4, bucket_t=128, max_len=4,
             lattice_beam=4.0, learn_rate=0.06, keep_lr=45)
     else:
         run(root)

@@ -318,3 +318,35 @@ def test_beam_decode_graph_without_eps_arcs():
     w2, a2, s2, lat = dec.decode_lattice(ll)
     from kaldi_aslp_tpu.decoder.lattice import lattice_best_path as bp
     assert bp(lat)[0] == [7]
+
+
+def test_decode_empty_utterance_keeps_init_eps_words():
+    """T == 0: the best path is the initial host eps chain; its words
+    and eps-folded final costs must survive (regression: the early
+    return dropped them)."""
+    npdf = 2
+    # start 0 -eps(word 9)-> 1(final); emitting self-loop on 1
+    g = PackedGraph(
+        src=np.asarray([0, 1], np.int32),
+        dst=np.asarray([1, 1], np.int32),
+        ilabel=np.asarray([0, 1], np.int32),
+        olabel=np.asarray([9, 0], np.int32),
+        weight=np.asarray([0.25, 0.5], np.float32),
+        final=np.asarray([np.inf, 0.0], np.float32),
+        start=0, num_states=2, eps_diameter=1)
+    lut = np.arange(-1, npdf, dtype=np.int32)
+    lut[0] = 0
+    dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                            acoustic_scale=1.0, beam=10.0,
+                            max_active=4, chunk=4)
+    ll = np.zeros((0, npdf + 1), np.float32)
+    words, ali, score = dec.decode(ll)
+    assert words == [9] and len(ali) == 0
+    w2, a2, s2, lat = dec.decode_lattice(ll)
+    assert w2 == [9]
+    from kaldi_aslp_tpu.decoder.lattice import lattice_best_path as bp
+    hyp, cost = bp(lat)
+    assert hyp == [] or hyp == [9]  # empty lattice path carries the
+    # eps-chain words only through the decode() result; the lattice
+    # must at least have a complete (possibly wordless) path
+    assert np.isfinite(cost)

@@ -10,7 +10,8 @@ from kaldi_aslp_tpu.recipes.ls_synth import run
 def test_ls_synth_pipeline(tmp_path):
     out = run(str(tmp_path / "ls"), num_words=20, num_train=48,
               num_test=8, layers=1, proj=32, cell=48, num_streams=8,
-              max_iters=45, rescore_text_mult=2, bucket_t=128,
+              max_iters=45, rescore_text_mult=8, lm_text_mult=4,
+              bucket_t=128,
               max_len=4, lattice_beam=4.0, learn_rate=0.06,
               keep_lr=45)
     assert out["rtf"] > 0

@@ -132,3 +132,13 @@ def test_bench_flagship_step_captures_no_device_arrays():
             jnp.ones((S, U), jnp.int32), jnp.full(S, T, jnp.int32),
             jnp.full(S, U, jnp.int32), jnp.ones((S, T)))
     assert not device_consts(step.__wrapped__, *args)
+
+
+def test_beam_decoder_compaction_captures_no_device_arrays():
+    from kaldi_aslp_tpu.decoder.beam import _compact_map_rec
+
+    planes = jnp.full((4, 2, 8), -1, jnp.int32)
+    em = jnp.arange(5, dtype=jnp.int32)
+    ep = jnp.arange(3, dtype=jnp.int32)
+    assert not device_consts(
+        lambda p, a, b: _compact_map_rec(p, a, b, 4), planes, em, ep)
