@@ -243,7 +243,9 @@ def synth_decode_graph(num_words=30000, phones_per_word=6,
 
 def bench_decode_rtf():
     """Beam decode RTF on the big synthetic HCLG (one utterance of
-    60 s, the RTF-tool role)."""
+    60 s, the RTF-tool role).  Returns (best-path RTF, lattice-
+    generating RTF) — the latter includes the on-device record
+    compaction + host lattice build (the latgen-faster role proper)."""
     from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
 
     g, lut, num_pdfs = synth_decode_graph()
@@ -260,7 +262,15 @@ def bench_decode_rtf():
     t0 = time.perf_counter()
     dec.decode(ll_dev)
     dt = time.perf_counter() - t0
-    return dt / (T * FRAME_SHIFT_S)
+    rtf = dt / (T * FRAME_SHIFT_S)
+    try:
+        dec.decode_lattice(ll_dev, lattice_beam=8.0)  # warmup (compile)
+        t0 = time.perf_counter()
+        dec.decode_lattice(ll_dev, lattice_beam=8.0)
+        lat_rtf = (time.perf_counter() - t0) / (T * FRAME_SHIFT_S)
+    except Exception:
+        lat_rtf = None
+    return rtf, lat_rtf
 
 
 def main():
@@ -291,12 +301,12 @@ def main():
     finally:
         signal.alarm(0)
 
-    rtf = None
+    rtf = lat_rtf = None
     try:
         signal.alarm(1500)
-        rtf = bench_decode_rtf()
+        rtf, lat_rtf = bench_decode_rtf()
     except Exception:
-        rtf = None
+        rtf = lat_rtf = None
     finally:
         signal.alarm(0)
     out = {
@@ -316,6 +326,8 @@ def main():
         out["corpus_fed_int8_audio_s_per_s"] = round(corpus_fed_int8, 2)
     if rtf is not None:
         out["decode_rtf_500k_state_graph"] = round(rtf, 4)
+    if lat_rtf is not None:
+        out["lattice_rtf_500k_state_graph"] = round(lat_rtf, 4)
     print(json.dumps(out))
 
 

@@ -247,7 +247,19 @@ class Fst:
     # -- composition --------------------------------------------------------
     def compose(self, other: "Fst") -> "Fst":
         """Tropical composition with the standard epsilon-sequencing filter
-        (reference: fstext/table-matcher.h fsttablecompose role)."""
+        (reference: fstext/table-matcher.h fsttablecompose role).
+
+        Uses the native C++ implementation when available (graph
+        composition dominates decode-graph builds: measured 35 s of a
+        47 s 175k-state TLG in python) — identical output, python
+        fallback below."""
+        from kaldi_aslp_tpu import native
+        res = native.fst_compose(self, other)
+        if res is not None:
+            return res
+        return self._compose_py(other)
+
+    def _compose_py(self, other: "Fst") -> "Fst":
         out = Fst()
         state_map: Dict[Tuple[int, int, int], int] = {}
 
@@ -293,6 +305,8 @@ class Fst:
 
     # -- text I/O (OpenFst format) ------------------------------------------
     def to_text(self) -> str:
+        if self.start < 0 or self.num_states == 0:
+            return "\n"
         lines = []
         order = [self.start] + [s for s in range(self.num_states)
                                 if s != self.start]

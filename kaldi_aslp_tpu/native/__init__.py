@@ -34,7 +34,7 @@ class ArkEntryStruct(ctypes.Structure):
 def _build() -> Optional[str]:
     here = os.path.dirname(__file__)
     srcs = [os.path.join(here, f)
-            for f in ("ark_scan.cc", "batch_pack.cc")]
+            for f in ("ark_scan.cc", "batch_pack.cc", "fst_compose.cc")]
     cache = os.path.join(
         os.path.expanduser("~"), ".cache", "kaldi_aslp_tpu"
     )
@@ -90,6 +90,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(PF), PI, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_int8), PF, PF,
             ]
+            P64 = ctypes.POINTER(ctypes.c_int64)
+            lib.fst_compose.restype = ctypes.c_void_p
+            lib.fst_compose.argtypes = (
+                [ctypes.c_int32, PI, PI, PI, PF, PI, PF, ctypes.c_int32]
+                * 2 + [P64, P64, ctypes.POINTER(ctypes.c_int32)])
+            lib.fst_compose_fetch.restype = None
+            lib.fst_compose_fetch.argtypes = [
+                ctypes.c_void_p, PI, PI, PI, PF, PI, PF]
+            lib.fst_compose_free.restype = None
+            lib.fst_compose_free.argtypes = [ctypes.c_void_p]
             _LIB = lib
     return _LIB
 
@@ -250,3 +260,79 @@ class FastArkReader:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         return out
+
+
+def fst_compose(f1, f2):
+    """Native tropical composition + connect (fst_compose.cc), the
+    fsttablecompose role.  Returns a new Fst, or None when no native
+    library is available (Fst.compose falls back to python).  Exact
+    drop-in for fst/fst.py Fst.compose — identical state numbering and
+    arc order (tests assert to_text equality)."""
+    lib = get_lib()
+    if lib is None:  # pragma: no cover - toolchain present in CI
+        return None
+    from kaldi_aslp_tpu.fst.fst import Arc, Fst
+
+    PI = ctypes.POINTER(ctypes.c_int32)
+    PF = ctypes.POINTER(ctypes.c_float)
+
+    def to_csr(f, sort_by_il):
+        S = f.num_states
+        row = np.zeros(S + 1, np.int32)
+        il, ol, w, dst = [], [], [], []
+        for s, arcs in enumerate(f.arcs):
+            if sort_by_il:
+                arcs = sorted(arcs, key=lambda a: a.ilabel)  # stable
+            row[s + 1] = row[s] + len(arcs)
+            for a in arcs:
+                il.append(a.ilabel)
+                ol.append(a.olabel)
+                w.append(a.weight)
+                dst.append(a.nextstate)
+        fin = np.full(S, np.inf, np.float32)
+        for s, c in f.finals.items():
+            fin[s] = c
+        return (row, np.asarray(il, np.int32), np.asarray(ol, np.int32),
+                np.asarray(w, np.float32), np.asarray(dst, np.int32),
+                fin)
+
+    def ptrs(csr):
+        row, il, ol, w, dst, fin = csr
+        return [row.ctypes.data_as(PI), il.ctypes.data_as(PI),
+                ol.ctypes.data_as(PI), w.ctypes.data_as(PF),
+                dst.ctypes.data_as(PI), fin.ctypes.data_as(PF)]
+
+    c1 = to_csr(f1, False)
+    c2 = to_csr(f2, True)
+    ns = ctypes.c_int64()
+    na = ctypes.c_int64()
+    st = ctypes.c_int32()
+    handle = lib.fst_compose(
+        f1.num_states, *ptrs(c1), f1.start,
+        f2.num_states, *ptrs(c2), f2.start,
+        ctypes.byref(ns), ctypes.byref(na), ctypes.byref(st))
+    try:
+        src = np.empty(na.value, np.int32)
+        il = np.empty(na.value, np.int32)
+        ol = np.empty(na.value, np.int32)
+        w = np.empty(na.value, np.float32)
+        dst = np.empty(na.value, np.int32)
+        fin = np.empty(max(ns.value, 1), np.float32)
+        lib.fst_compose_fetch(
+            handle, src.ctypes.data_as(PI), il.ctypes.data_as(PI),
+            ol.ctypes.data_as(PI), w.ctypes.data_as(PF),
+            dst.ctypes.data_as(PI), fin.ctypes.data_as(PF))
+    finally:
+        lib.fst_compose_free(handle)
+
+    out = Fst()
+    for _ in range(ns.value):
+        out.add_state()
+    if st.value >= 0:
+        out.set_start(int(st.value))
+    for i in range(na.value):
+        out.add_arc(int(src[i]), Arc(int(il[i]), int(ol[i]),
+                                     float(w[i]), int(dst[i])))
+    for s in np.nonzero(np.isfinite(fin[:ns.value]))[0]:
+        out.set_final(int(s), float(fin[s]))
+    return out

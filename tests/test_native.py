@@ -146,3 +146,58 @@ def test_pad_pack_int8_matches_transport_contract(
         err = np.abs(deq[s, :n] - feats[s])
         assert (err <= scale[None, :] * 0.51 + 1e-6).all()
         np.testing.assert_array_equal(deq[s, n:], 0.0)
+
+
+def test_native_compose_matches_python_exactly():
+    """Native fst_compose == Fst._compose_py bit-for-bit (state
+    numbering, arc order, weights) on random machines with eps on both
+    sides, and on a real L∘G."""
+    import jax
+    from kaldi_aslp_tpu.fst.fst import Arc, Fst
+    from kaldi_aslp_tpu import native
+
+    def rand_fst(rng, S, n_arcs, max_lab, eps_frac=0.3):
+        f = Fst()
+        for _ in range(S):
+            f.add_state()
+        f.set_start(0)
+        for _ in range(n_arcs):
+            s, d = rng.randint(S), rng.randint(S)
+            il = 0 if rng.rand() < eps_frac else 1 + rng.randint(max_lab)
+            ol = 0 if rng.rand() < eps_frac else 1 + rng.randint(max_lab)
+            f.add_arc(s, Arc(il, ol, round(float(rng.rand()), 3), d))
+        for s in range(S):
+            if rng.rand() < 0.3:
+                f.set_final(s, round(float(rng.rand()), 3))
+        return f
+
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        a = rand_fst(rng, 5 + trial, 24, 4)
+        b = rand_fst(rng, 4 + trial, 20, 4)
+        b.arc_sort("ilabel")
+        nat = native.fst_compose(a, b)
+        assert nat is not None
+        ref = a._compose_py(b)
+        # weights cross the C boundary as float32 (OpenFst's own weight
+        # width); %g text form and structure must match exactly
+        assert nat.to_text() == ref.to_text(), f"trial {trial}"
+        assert nat.start == ref.start
+        assert set(nat.finals) == set(ref.finals)
+        for s, c in ref.finals.items():
+            assert abs(nat.finals[s] - c) < 1e-6
+
+
+def test_native_compose_on_real_lg():
+    from kaldi_aslp_tpu.fst import Lang, Lexicon, make_unigram_grammar
+    from kaldi_aslp_tpu import native
+
+    from kaldi_aslp_tpu.fst.lang import make_lexicon_fst
+    lex = Lexicon.from_text("YES Y E S\nNO N O\nMAYBE M A Y B\n<SIL> SIL\n")
+    lang = Lang.build(lex)
+    G = make_unigram_grammar({"YES": 0.5, "NO": 0.3, "MAYBE": 0.2},
+                             lang.words)
+    L = make_lexicon_fst(lang)
+    nat = native.fst_compose(L, G)
+    ref = L._compose_py(G)
+    assert nat.to_text() == ref.to_text()
