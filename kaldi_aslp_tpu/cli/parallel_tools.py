@@ -15,9 +15,12 @@ On TPU the MPI ranks become devices of a jax mesh in ONE process:
   sod  — psum'd delta consumed by a server-side optax optimizer
          (sod-worker.cc + optimizer.h), the server role fused into the
          collective.
-EASGD/ASGD/MASGD are asynchronous parameter-server modes with no
-idiomatic TPU mapping; they are documented non-goals (PARALLELISM.md),
-and aslp-nnet-train-server explains the fusion."""
+  easgd/asgd/masgd — asynchronous parameter-server modes re-expressed
+         as deterministic-schedule rounds (parallel/ps.py): local SGD
+         per worker row on a ('worker',) mesh, then the server's
+         one-at-a-time sync loop as a sequential scan in arrival order
+         (easgd-server.cc:38-61).  The server role is fused into the
+         same program — aslp-nnet-train-server explains."""
 
 from __future__ import annotations
 
@@ -34,14 +37,18 @@ logger = get_logger("parallel-cli")
 
 @dataclasses.dataclass
 class WorkerFlags(Config):
-    worker_type: str = "bsp"     # bsp | bmuf | sod
+    worker_type: str = "bsp"     # bsp | bmuf | sod | easgd | asgd | masgd
     num_workers: int = 0         # 0 = all local devices
-    sync_period: int = 25600     # frames between BMUF syncs (ref default)
+    sync_period: int = 25600     # frames between syncs (ref default)
     learn_rate: float = 0.008
     momentum: float = 0.0
     bmuf_momentum: float = 0.9
     bmuf_learn_rate: float = 1.0
     server_optimizer: str = "sgd"   # sod server-side optimizer
+    alpha: float = -1.0          # easgd/asgd gain; -1 = per-mode ref
+    #                              default (easgd 0.5, asgd/masgd 1.0)
+    masgd_momentum: float = 0.9  # masgd server momentum
+    masgd_type: str = "local"    # local (LMASGD) | global (GMASGD)
     minibatch_size: int = 256
     cross_validate: bool = False
 
@@ -119,7 +126,55 @@ def nnet_train_worker(argv):
         return (np.concatenate([f, f[:pad]]),
                 np.concatenate([t, t[:pad]]))
 
-    if flags.worker_type == "bmuf":
+    if flags.worker_type in ("easgd", "asgd", "masgd"):
+        from kaldi_aslp_tpu.parallel import (
+            PsOptions,
+            PsState,
+            make_ps_round_step,
+            ps_sync_round,
+            stack_worker_states,
+        )
+
+        alpha = flags.alpha
+        if alpha < 0:
+            alpha = 0.5 if flags.worker_type == "easgd" else 1.0
+        mesh = make_mesh(("worker",), devices=devices)
+        update = make_sgd_update(net, opts)
+        inner = max(1, flags.sync_period // max(flags.minibatch_size, 1))
+        ps_opts = PsOptions(mode=flags.worker_type, alpha=alpha,
+                            masgd_momentum=flags.masgd_momentum,
+                            masgd_type=flags.masgd_type)
+        step = make_ps_round_step(loss_fn, update, mesh, ps_opts,
+                                  inner_steps=inner, scan_batches=True)
+        state = PsState(params, n, ps_opts)
+        opt_states = stack_worker_states(init_velocity(params), n)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(None, "worker"))
+        pend_f, pend_t = [], []
+        for f, t in batches():
+            f, t = pad_to(f, t, n)
+            pend_f.append(f[:len(f) // n * n])
+            pend_t.append(t[:len(t) // n * n])
+            if len(pend_f) < inner:
+                continue
+            b = min(len(x) for x in pend_t)
+            batch = {
+                "feats": jax.device_put(
+                    jnp.asarray(np.stack([x[:b] for x in pend_f])),
+                    sharding),
+                "targets": jax.device_put(
+                    jnp.asarray(np.stack(
+                        [x[:b].astype(np.int32) for x in pend_t])),
+                    sharding),
+            }
+            pend_f, pend_t = [], []
+            state.workers, opt_states, loss = step(
+                state.workers, opt_states, batch, lr)
+            state = ps_sync_round(state)
+            reporter.update({"frames": inner * b,
+                             "loss_sum": float(loss) * inner * b})
+        params = state.server  # the server model is the product
+    elif flags.worker_type == "bmuf":
         if n < 2:
             logger.warning("bmuf with <2 workers degenerates to SGD")
         mesh = make_mesh(("block", "data"), devices=devices,
@@ -202,18 +257,21 @@ def nnet_train_worker(argv):
 
 def nnet_train_server(argv):
     """Parameter-server role (reference: aslp-nnet-train-server.cc for
-    easgd/asgd/masgd).  On TPU the server is fused into the worker's
-    collective: synchronous modes need no server (psum IS the server),
-    and the asynchronous modes are documented non-goals."""
+    easgd/asgd/masgd).  On TPU the server is fused into the worker
+    program: synchronous modes need no server (psum IS the server), and
+    the asynchronous modes run their server sync loop as a sequential
+    scan inside the worker step (parallel/ps.py)."""
     parse_options(argv, [], "aslp-nnet-train-server", 0, None)
     print(
-        "aslp-nnet-train-server: no separate server process on TPU.\n"
-        "  bsp/sod  -> the psum collective is the server "
-        "(aslp-nnet-train-worker --worker-type=bsp|sod)\n"
-        "  bmuf     -> block sync inside the worker "
+        "aslp-nnet-train-server: no separate server process on TPU — "
+        "the server role is fused into the worker program.\n"
+        "  bsp/sod          -> the psum collective is the server "
+        "(aslp-nnet-train-*-worker --worker-type=bsp|sod)\n"
+        "  bmuf             -> block sync inside the worker "
         "(--worker-type=bmuf)\n"
-        "  easgd/asgd/masgd -> asynchronous parameter-server modes are "
-        "documented non-goals on TPU (see PARALLELISM.md)",
+        "  easgd/asgd/masgd -> the server's one-at-a-time sync loop "
+        "runs as a sequential scan in the worker step "
+        "(--worker-type=easgd|asgd|masgd; parallel/ps.py)",
         file=sys.stderr,
     )
-    return 2
+    return 0

@@ -18,3 +18,13 @@ from kaldi_aslp_tpu.parallel.optimizers import (
     make_optimizer,
 )
 from kaldi_aslp_tpu.parallel.sod import SodState, sod_sync, model_average_sync
+from kaldi_aslp_tpu.parallel.ps import (
+    PsOptions,
+    PsState,
+    easgd_pair_sync,
+    asgd_pair_sync,
+    masgd_pair_sync,
+    ps_sync_round,
+    make_ps_round_step,
+    stack_worker_states,
+)

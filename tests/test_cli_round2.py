@@ -260,6 +260,13 @@ def _worker_model(tmp_path):
     ("bsp", []),
     ("sod", ["--server-optimizer=adam"]),
     ("bmuf", ["--sync-period=512", "--bmuf-momentum=0.5"]),
+    ("easgd", ["--sync-period=256", "--alpha=0.5"]),
+    ("asgd", ["--sync-period=256"]),
+    # momentum accumulates 8 workers' deltas on the server — needs a
+    # gentler lr than the sync modes or it overshoots (inherent to
+    # async momentum, not a code artifact)
+    ("masgd", ["--sync-period=256", "--masgd-momentum=0.5",
+               "--learn-rate=0.05"]),
 ])
 def test_nnet_train_worker_cli(tmp_path, frame_task, capsys,
                                worker_type, extra):
@@ -291,8 +298,8 @@ def test_nnet_train_worker_cli(tmp_path, frame_task, capsys,
 
 
 def test_nnet_train_server_cli(capsys):
-    assert main(["aslp-nnet-train-server"]) == 2
-    assert "PARALLELISM" in capsys.readouterr().err
+    assert main(["aslp-nnet-train-server"]) == 0
+    assert "easgd" in capsys.readouterr().err
 
 
 def test_audio_provider_client(tmp_path, capsys):
