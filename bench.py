@@ -241,36 +241,41 @@ def synth_decode_graph(num_words=30000, phones_per_word=6,
     return g, lut, num_pdfs
 
 
-def bench_decode_rtf():
+_DECODE_STATE: dict = {}
+
+
+def bench_decode_rtf(lattice: bool):
     """Beam decode RTF on the big synthetic HCLG (one utterance of
-    60 s, the RTF-tool role).  Returns (best-path RTF, lattice-
-    generating RTF) — the latter includes the on-device record
-    compaction + host lattice build (the latgen-faster role proper)."""
+    60 s, the RTF-tool role).  ``lattice=False`` → (best-path RTF,
+    None); ``lattice=True`` → (None, lattice RTF), where the lattice
+    number includes the on-device fwd-bwd record prune + host lattice
+    build (the latgen-faster role proper)."""
     from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
 
-    g, lut, num_pdfs = synth_decode_graph()
-    dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
-                            acoustic_scale=1.0, beam=14.0,
-                            max_active=2048, chunk=128)
-    rng = np.random.RandomState(1)
-    T = 6000  # 60 s of audio
-    ll = rng.uniform(-12.0, -10.0, size=(T, num_pdfs)).astype(np.float32)
-    ll[np.arange(T), rng.randint(0, num_pdfs, T)] = -0.5
-    import jax.numpy as jnp
-    ll_dev = jnp.asarray(ll)   # scores live on device, as the AM makes them
-    dec.decode(ll_dev)         # warmup at the REAL shape (compile)
-    t0 = time.perf_counter()
-    dec.decode(ll_dev)
-    dt = time.perf_counter() - t0
-    rtf = dt / (T * FRAME_SHIFT_S)
-    try:
-        dec.decode_lattice(ll_dev, lattice_beam=8.0)  # warmup (compile)
+    if not _DECODE_STATE:
+        g, lut, num_pdfs = synth_decode_graph()
+        dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                                acoustic_scale=1.0, beam=14.0,
+                                max_active=2048, chunk=128)
+        rng = np.random.RandomState(1)
+        T = 6000  # 60 s of audio
+        ll = rng.uniform(-12.0, -10.0,
+                         size=(T, num_pdfs)).astype(np.float32)
+        ll[np.arange(T), rng.randint(0, num_pdfs, T)] = -0.5
+        import jax.numpy as jnp
+        # scores live on device, as the AM makes them
+        _DECODE_STATE.update(dec=dec, ll=jnp.asarray(ll), T=T)
+    dec, ll_dev, T = (_DECODE_STATE["dec"], _DECODE_STATE["ll"],
+                      _DECODE_STATE["T"])
+    if not lattice:
+        dec.decode(ll_dev)     # warmup at the REAL shape (compile)
         t0 = time.perf_counter()
-        dec.decode_lattice(ll_dev, lattice_beam=8.0)
-        lat_rtf = (time.perf_counter() - t0) / (T * FRAME_SHIFT_S)
-    except Exception:
-        lat_rtf = None
-    return rtf, lat_rtf
+        dec.decode(ll_dev)
+        return (time.perf_counter() - t0) / (T * FRAME_SHIFT_S), None
+    dec.decode_lattice(ll_dev, lattice_beam=8.0)  # warmup (compile)
+    t0 = time.perf_counter()
+    dec.decode_lattice(ll_dev, lattice_beam=8.0)
+    return None, (time.perf_counter() - t0) / (T * FRAME_SHIFT_S)
 
 
 def main():
@@ -301,12 +306,21 @@ def main():
     finally:
         signal.alarm(0)
 
+    # best-path RTF and lattice RTF get SEPARATE alarms so one slow
+    # compile can't sink the other's number
     rtf = lat_rtf = None
     try:
         signal.alarm(1500)
-        rtf, lat_rtf = bench_decode_rtf()
+        rtf, _ = bench_decode_rtf(lattice=False)
     except Exception:
-        rtf = lat_rtf = None
+        rtf = None
+    finally:
+        signal.alarm(0)
+    try:
+        signal.alarm(1500)
+        _, lat_rtf = bench_decode_rtf(lattice=True)
+    except Exception:
+        lat_rtf = None
     finally:
         signal.alarm(0)
     out = {

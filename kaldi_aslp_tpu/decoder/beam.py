@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from kaldi_aslp_tpu.decoder.viterbi import NEG_INF, PackedGraph
 from kaldi_aslp_tpu.decoder.lattice import Lattice, LatticeArc
+from kaldi_aslp_tpu.utils.log import get_logger
 
 
 @dataclass
@@ -132,6 +133,101 @@ class CsrGraph:
 # sentinel destination for dead candidates: sorts after every real
 # state id (graphs are << 2^30 states)
 INVALID_DST = np.int32(2 ** 30)
+
+
+def _join_sorted(sorted_keys: np.ndarray, queries: np.ndarray):
+    """Sort-merge join: for each query, all positions in
+    ``sorted_keys`` holding an equal value.  Returns (rep, match):
+    expanded pair indices (query index, sorted-key index).  O(output +
+    log-factors) — replaces per-element dict lookups in the host
+    lattice build (the old dict product was O(|closure| x |arcs|) per
+    frame and took tens of minutes on dense 60s stress decodes)."""
+    lo = np.searchsorted(sorted_keys, queries, "left")
+    hi = np.searchsorted(sorted_keys, queries, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    rep = np.repeat(np.arange(len(queries), dtype=np.int64), cnt)
+    excl = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(excl, cnt)
+    return rep, lo[rep] + within
+
+
+def _closure_arrays(g: PackedGraph, eps_ids: np.ndarray,
+                    sources: np.ndarray, rounds: int, wmax: int):
+    """Vectorized eps prefix closure: best (cost, word string) eps path
+    u→v over the arcs ``eps_ids``, for every source u in ``sources``
+    (identity rows included).  Words ride as a [N, wmax] int32 matrix
+    with a count column (eps paths carry at most ``rounds`` labels —
+    the eps DAG's diameter bounds path length).
+
+    Returns (u, v, w, words, cnt) numpy arrays."""
+    L = len(sources)
+    u = sources.astype(np.int64)
+    v = sources.astype(np.int64)
+    w = np.zeros(L, np.float64)
+    words = np.full((L, max(wmax, 1)), -1, np.int32)
+    cnt = np.zeros(L, np.int64)
+    if len(eps_ids) == 0 or L == 0:
+        return u, v, w, words, cnt
+    eps_ids = np.asarray(eps_ids, np.int64)
+    es = g.src[eps_ids]
+    order = np.argsort(es, kind="stable")
+    es_sorted = es[order].astype(np.int64)
+    ed = g.dst[eps_ids[order]].astype(np.int64)
+    ew = g.weight[eps_ids[order]].astype(np.float64)
+    eo = g.olabel[eps_ids[order]].astype(np.int32)
+    for _ in range(rounds):
+        rep, mi = _join_sorted(es_sorted, v)
+        if len(rep) == 0:
+            break
+        nu = u[rep]
+        nv = ed[mi]
+        nw = w[rep] + ew[mi]
+        nwords = words[rep].copy()
+        ncnt = cnt[rep].copy()
+        has = eo[mi] > 0
+        if has.any():
+            if int(ncnt[has].max()) >= wmax:
+                raise RuntimeError(
+                    "eps word chain exceeds declared eps diameter "
+                    f"({wmax}); graph eps structure is inconsistent")
+            nwords[np.nonzero(has)[0], ncnt[has]] = eo[mi][has]
+            ncnt = ncnt + has
+        u = np.concatenate([u, nu])
+        v = np.concatenate([v, nv])
+        w = np.concatenate([w, nw])
+        words = np.concatenate([words, nwords])
+        cnt = np.concatenate([cnt, ncnt])
+        # dedup (u, v) keeping min cost (each round extends paths by
+        # one hop; subpath optimality makes per-pair best sufficient)
+        o = np.lexsort((w, v, u))
+        uu, vv = u[o], v[o]
+        first = np.concatenate(
+            [[True], (uu[1:] != uu[:-1]) | (vv[1:] != vv[:-1])])
+        keep = o[first]
+        u, v, w = u[keep], v[keep], w[keep]
+        words, cnt = words[keep], cnt[keep]
+    return u, v, w, words, cnt
+
+
+def _bucket_pairs_by_time(tvals: np.ndarray, avals: np.ndarray,
+                          length: int):
+    """Unique (t, arc) pairs split into per-t arrays (vectorized)."""
+    out = [np.zeros(0, np.int64) for _ in range(length)]
+    if len(avals) == 0 or length == 0:
+        return out
+    o = np.lexsort((avals, tvals))
+    tv, av = tvals[o].astype(np.int64), avals[o].astype(np.int64)
+    first = np.concatenate(
+        [[True], (tv[1:] != tv[:-1]) | (av[1:] != av[:-1])])
+    tv, av = tv[first], av[first]
+    starts = np.searchsorted(tv, np.arange(length + 1))
+    for t in range(length):
+        out[t] = av[starts[t]:starts[t + 1]]
+    return out
 
 
 def _expand(states, scores, row_se, budget: int, cap: int = 0):
@@ -252,6 +348,8 @@ def _beam_scan(
         stage_arc = []
         stage_slot = []
         rec_arc = []
+        rec_sc = []
+        rec_src = []
 
         # ---- stage 0: emitting arcs consume the acoustic frame ----
         # one row gather per arc: the packed [N, 4] layout turns four
@@ -275,10 +373,16 @@ def _beam_scan(
             # em planes are [A_em]; pad to the eps budget A so the
             # per-stage record planes stack.  Padding frames (~v_t)
             # must record nothing: their replayed frontier would
-            # inflate the device-compaction overflow check and the
-            # host lattice build.
+            # inflate the device-compaction counts and the host
+            # lattice build.  Scores and source states ride along so
+            # the backward prune scan can rank and relax records.
             pad = (0, A - A_em)
+            src_st = st[slot]
             rec_arc.append(jnp.pad(jnp.where(ok & v_t, arc_pos, -1),
+                                   pad, constant_values=-1))
+            rec_sc.append(jnp.pad(jnp.where(ok & v_t, cand, NEG_INF),
+                                  pad, constant_values=NEG_INF))
+            rec_src.append(jnp.pad(jnp.where(ok & v_t, src_st, -1),
                                    pad, constant_values=-1))
         st, sc = nst, nsc
 
@@ -308,6 +412,8 @@ def _beam_scan(
                 jnp.where(from_eps, epicked[:, 1], sel)))
             if record_lattice:
                 rec_arc.append(jnp.where(ok & v_t, arc_pos, -1))
+                rec_sc.append(jnp.where(ok & v_t, cand_e, NEG_INF))
+                rec_src.append(jnp.where(ok & v_t, st[slot], -1))
             st, sc = nst, nsc
 
         # padding frames are no-ops; their backpointer planes are the
@@ -319,7 +425,8 @@ def _beam_scan(
             [jnp.where(v_t, s, ident) for s in stage_slot])
         out = (arcs_out, slots_out, sc)
         if record_lattice:
-            out = out + (jnp.stack(rec_arc),)
+            out = out + (jnp.stack(rec_arc), jnp.stack(rec_sc),
+                         jnp.stack(rec_src))
         st = jnp.where(v_t, st, carry[0])
         sc = jnp.where(v_t, sc, carry[1])
         return (st, sc), out
@@ -329,28 +436,167 @@ def _beam_scan(
     return (states, scores), outs
 
 
-@partial(jax.jit, static_argnames=("R",))
-def _compact_map_rec(planes, em_arc, ep_arc, R: int):
-    """[T, stages, A] CSR-position record planes → ([T, R] global arc
-    ids, overflow flag), all on device.  Stage 0 positions index the
-    emitting arc table, later stages the eps table; valid entries are
-    compacted to the front so only ~R ints per frame cross the host
-    boundary instead of stages x A."""
-    Tn, S_, A_ = planes.shape
-    mapped = []
-    for s in range(S_):
-        tbl = em_arc if s == 0 else ep_arc
-        p = planes[:, s, :]
-        mapped.append(jnp.where(
-            p >= 0, tbl[jnp.clip(p, 0, tbl.shape[0] - 1)], -1))
-    flat = jnp.concatenate(mapped, axis=1)          # [T, S*A]
-    valid = flat >= 0
-    order = jnp.argsort(~valid, axis=1, stable=True)[:, :R]
-    out = jnp.take_along_axis(flat, order, axis=1)
-    vtaken = jnp.take_along_axis(valid, order, axis=1)
-    out = jnp.where(vtaken, out, -1)
-    overflow = (valid.sum(axis=1) > R).any()
-    return out, overflow
+def _lookup_scores(bst, bsc, q):
+    """Score of each query state in the sorted set (bst asc, INVALID_DST
+    padded; bsc scores) — NEG_INF on miss.
+
+    One sort + associative scan + unsort instead of
+    ``jnp.searchsorted``: binary search lowers to log2(|set|) chained
+    [N] gathers on TPU (the same pathology that cost 4.3 ms/frame in
+    the old arc expansion), while sorts are vectorized."""
+    nb = bst.shape[0]
+    nq = q.shape[0]
+    marker = jnp.int32(INVALID_DST)
+    keys = jnp.concatenate([bst, q])
+    # set rows sort BEFORE query rows of the same key
+    isq = jnp.concatenate([jnp.zeros(nb, jnp.int32),
+                           jnp.ones(nq, jnp.int32)])
+    vals = jnp.concatenate([bsc, jnp.full((nq,), NEG_INF, jnp.float32)])
+    pos = jnp.concatenate([jnp.full((nb,), nq, jnp.int32),
+                           jnp.arange(nq, dtype=jnp.int32)])
+    sk, sq, sv, sp = jax.lax.sort((keys, isq, vals, pos), num_keys=2)
+    # carry the most recent set entry (key, val) through the sorted run
+    ck = jnp.where(sq == 0, sk, marker)
+    cv = sv
+
+    def comb(a, b):
+        ak, av = a
+        bk, bv = b
+        take_b = bk != marker
+        return (jnp.where(take_b, bk, ak), jnp.where(take_b, bv, av))
+
+    rk, rv = jax.lax.associative_scan(comb, (ck, cv))
+    hit = (rk == sk) & (sq == 1)
+    out_val = jnp.where(hit, rv, NEG_INF)
+    # unsort: queries carry their original index in sp (set rows = nq
+    # sort after in-range queries only if nq padding...); order rows by
+    # (is-set, sp) so queries come first in original order
+    _, _, vq = jax.lax.sort((1 - sq, sp, out_val), num_keys=2)
+    return vq[:nq]
+
+
+def _dedup_sorted_set(states, scores, cap: int):
+    """(state, score) candidates → per-state max, returned as a sorted
+    fixed-[cap] set (INVALID_DST / NEG_INF padded).  Mirrors
+    _dedup_topk's sort-based dedup but keeps state order instead of
+    score order."""
+    sd = jnp.where(scores > NEG_INF / 2, states, INVALID_DST)
+    s1, negv = jax.lax.sort((sd, -scores), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool), s1[1:] != s1[:-1]])
+    keep = first & (s1 < INVALID_DST)
+    s2 = jnp.where(keep, s1, INVALID_DST)
+    v2 = jnp.where(keep, -negv, NEG_INF)
+    s3, v3 = jax.lax.sort((s2, v2), num_keys=1)
+    return s3[:cap], v3[:cap]
+
+
+def _merge_sorted_set(bst, bsc, states, scores, cap: int):
+    """Per-state max of an existing sorted set and new candidates."""
+    return _dedup_sorted_set(jnp.concatenate([bst, states]),
+                             jnp.concatenate([bsc, scores]), cap)
+
+
+@partial(jax.jit, static_argnames=(
+    "stages", "chunk", "B_cap", "R_pr"))
+def _record_prune_scan(
+    rec_pos,             # [chunk, stages, A] CSR positions, -1 pad
+    rec_sc,              # [chunk, stages, A] forward-through-arc scores
+    rec_src,             # [chunk, stages, A] source states, -1 pad
+    ll_all,              # [Tp, P] acoustic scores (device-resident)
+    t0, total_t,         # chunk offset / true length (traced)
+    em_pack, ep_pack,    # packed arc rows
+    em_arc, ep_arc,      # CSR position → global arc id
+    final_plane,         # [S] f32: -final_cost at time T (NEG_INF else)
+    bst, bsc,            # carry-in backward set [B_cap]
+    acoustic_scale, thresh,
+    stages: int, chunk: int, B_cap: int, R_pr: int,
+):
+    """Reverse scan over record planes: exact forward-backward prune of
+    the recorded arcs ON DEVICE (reference: PruneActiveTokens /
+    PruneForwardLinks, src/decoder/lattice-faster-decoder.h:96-364 —
+    there incremental over the token list, here one reverse pass).
+
+    For every recorded arc, its recorded score is already the best
+    forward score THROUGH the arc; the scan maintains the backward
+    completion set B (sorted state→score, bounded by K·stages states
+    since record sources come from ≤K frontiers) and keeps an arc iff
+    forward + backward clears ``thresh``.  Survivors are compacted to
+    ``R_pr`` per frame (best-score first) and mapped to global arc ids,
+    so only the TRUE lattice arcs cross the host boundary — the
+    unpruned superset is ~100-1000x larger on dense decodes and its
+    fetch + host folding dominated lattice RTF."""
+    loglikes = jax.lax.dynamic_slice_in_dim(ll_all, t0, chunk)
+    frames = t0 + jnp.arange(chunk)
+
+    def step(carry, inp):
+        bst, bsc = carry
+        pos_t, sc_t, src_t, ll_t, t = inp
+        v_t = t < total_t
+        boundary = t == total_t - 1
+        B_st, B_sc = bst, bsc
+
+        keep_planes = []
+        score_planes = []
+        # eps stages, reverse order (prefixes of frame t+1's emission)
+        for s in range(stages - 1, 0, -1):
+            pos_e = pos_t[s]
+            ok_e = pos_e >= 0
+            erow = ep_pack[jnp.maximum(pos_e, 0)]
+            dst_e = erow[:, 0]
+            w_e = jax.lax.bitcast_convert_type(erow[:, 1], jnp.float32)
+            tail = _lookup_scores(B_st, B_sc, dst_e)
+            tail = jnp.maximum(
+                tail, jnp.where(boundary, final_plane[dst_e], NEG_INF))
+            tot = sc_t[s] + tail
+            keep_planes.append(ok_e & (tot >= thresh))
+            score_planes.append(jnp.where(ok_e, tot, NEG_INF))
+            cand_sc = jnp.where(ok_e, tail - w_e, NEG_INF)
+            B_st, B_sc = _merge_sorted_set(
+                B_st, B_sc, jnp.where(ok_e, src_t[s], INVALID_DST),
+                cand_sc, B_cap)
+
+        # emitting stage (consumes frame t)
+        pos_m = pos_t[0]
+        ok_m = pos_m >= 0
+        row = em_pack[jnp.maximum(pos_m, 0)]
+        dst_m = row[:, 0]
+        ac = acoustic_scale * ll_t[row[:, 1]]
+        w_m = jax.lax.bitcast_convert_type(row[:, 2], jnp.float32)
+        tail = _lookup_scores(B_st, B_sc, dst_m)
+        tail = jnp.maximum(
+            tail, jnp.where(boundary, final_plane[dst_m], NEG_INF))
+        tot = sc_t[0] + tail
+        keep_em = ok_m & (tot >= thresh)
+        new_st, new_sc = _dedup_sorted_set(
+            jnp.where(ok_m, src_t[0], INVALID_DST),
+            jnp.where(ok_m, ac - w_m + tail, NEG_INF), B_cap)
+
+        # compact survivors (em stage first, then eps by ascending
+        # stage) to R_pr global arc ids, best-total first
+        keeps = jnp.concatenate(
+            [keep_em] + keep_planes[::-1]) & v_t
+        tots = jnp.concatenate(
+            [jnp.where(ok_m, tot, NEG_INF)] + score_planes[::-1])
+        arcs = [jnp.where(ok_m, em_arc[jnp.maximum(pos_m, 0)], -1)]
+        for s in range(1, stages):
+            pe = pos_t[s]
+            arcs.append(jnp.where(pe >= 0,
+                                  ep_arc[jnp.maximum(pe, 0)], -1))
+        arcs = jnp.concatenate(arcs)
+        rank_sc = jnp.where(keeps, tots, NEG_INF)
+        top_sc, sel = jax.lax.top_k(rank_sc, R_pr)
+        kept = jnp.where(top_sc > NEG_INF / 2, arcs[sel], -1)
+        count = keeps.sum()
+
+        # padding frames pass the carry through untouched
+        new_st = jnp.where(v_t, new_st, bst)
+        new_sc = jnp.where(v_t, new_sc, bsc)
+        return (new_st, new_sc), (kept, count)
+
+    (bst, bsc), (kept, counts) = jax.lax.scan(
+        step, (bst, bsc),
+        (rec_pos, rec_sc, rec_src, loglikes, frames), reverse=True)
+    return (bst, bsc), kept, counts
 
 
 @partial(jax.jit, static_argnames=("stages",))
@@ -440,25 +686,24 @@ class BeamSearchDecoder:
         }
         self.eps_rounds = max(graph.eps_diameter, 0)
         # per-frame budget for the device-compacted lattice record
-        # fetch (decode_lattice); overflow falls back to the full plane
+        # fetch (decode_lattice); the budget escalates in powers of two
+        # up to rec_budget_max, beyond which the best-scored records
+        # are kept (per-frame record beam) and drops are counted in
+        # last_record_drops
         self.rec_budget = 1024
+        self.rec_budget_max = 16384
+        self.last_record_drops = 0
+        # extra slack on the device-side record prune: the recorded
+        # scores are f32 running sums over the whole utterance, so
+        # near-threshold arcs carry O(0.1) accumulated rounding noise
+        # on hour-scale/score-scale decodes; the margin keeps a slight
+        # superset and the host build's f64 forward-backward prune
+        # stays the arbiter.  0 reproduces the f32-exact prune.
+        self.record_prune_margin = 0.5
 
 
 
     # -- position→arc-id mapping (device planes carry CSR positions) --
-    def _map_plane_arcs(self, planes):
-        """[..., stages, K] backpointer/record planes with stage 0 =
-        emitting: map CSR positions to global arc ids (-1 passes)."""
-        g = self.graph
-        out = np.empty_like(planes)
-        for s in range(planes.shape[-2]):
-            table = g.em_arc if s == 0 else g.ep_arc
-            p = planes[..., s, :]
-            out[..., s, :] = np.where(
-                p >= 0, table[np.minimum(np.maximum(p, 0),
-                                         len(table) - 1)], -1)
-        return out
-
     def _map_rev_arcs(self, arcs_rt):
         """[..., stages DESCENDING] device-backtrace output: the last
         column is the emitting stage."""
@@ -595,22 +840,28 @@ class BeamSearchDecoder:
 
         Device-resident like :meth:`decode`: backpointer planes never
         cross the host boundary (device backtrace scan), and the
-        [T, stages, A] record planes are mapped to global arc ids and
-        compacted to ``rec_budget`` entries per frame ON DEVICE before
-        the one fetch — the full planes are ~13 MB per utterance, the
-        compacted record ~100 KB (tunnel D2H runs ~30 MB/s)."""
+        [T, stages, A] record planes are forward-backward PRUNED at
+        ``lattice_beam`` on device (_record_prune_scan — the
+        PruneActiveTokens role as one reverse pass), then compacted to
+        global arc ids before the one fetch: only the true lattice
+        arcs ever cross the tunnel (the unpruned superset is 100-1000x
+        larger on dense decodes and its fetch + host folding dominated
+        lattice RTF)."""
         ll = np.asarray(loglikes, np.float32)
         T = len(ll)
         states0, scores0, init_bp = self._init_frontier()
         st = jnp.asarray(states0)
         sc = jnp.asarray(scores0)
         ll_dev, _Tp = self._pad_device(ll, T)
-        dev_arc, dev_slot, dev_rec = [], [], []
+        dev_arc, dev_slot = [], []
+        dev_rec, dev_rsc, dev_rsrc = [], [], []
         for t0 in range(0, T, self.chunk):
             (st, sc), outs = self._scan_chunk(ll_dev, t0, T, st, sc, True)
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
             dev_rec.append(outs[3])
+            dev_rsc.append(outs[4])
+            dev_rsrc.append(outs[5])
         states = np.asarray(st)
         scores = np.asarray(sc)
         k, best_score, is_final = self._best_final(states, scores)
@@ -621,18 +872,6 @@ class BeamSearchDecoder:
                 ll, np.zeros((0, 1, 1), np.int32), best_score,
                 lattice_beam, pseudo_finals=pseudo)
             return words, ali, best_score, lat
-        comp, overflow = _compact_map_rec(
-            jnp.concatenate(dev_rec), self._dev["em_arc"],
-            self._dev["ep_arc"], self.rec_budget)
-        if bool(overflow):
-            # rare: more surviving record entries than the budget —
-            # fall back to fetching + mapping the full planes
-            rec_arc = self._map_plane_arcs(
-                np.concatenate([np.asarray(r) for r in dev_rec])[:T])
-        else:
-            rec_arc = np.asarray(comp)[:T][:, None, :]
-        words, ali = self._backtrace_device(
-            dev_arc, dev_slot, k, T, states0, init_bp)
         # when NO surviving token sits on a real final state, the
         # reference emits the lattice anyway, treating all last-frame
         # tokens as final with zero cost (GetRawLattice with
@@ -640,9 +879,83 @@ class BeamSearchDecoder:
         # without this the backward pass from graph finals is empty and
         # the whole utterance would produce a path-less lattice
         pseudo = None if is_final else (states, scores)
+        rec_arc = self._prune_records_device(
+            dev_rec, dev_rsc, dev_rsrc, ll_dev, T, best_score,
+            lattice_beam, pseudo)
+        words, ali = self._backtrace_device(
+            dev_arc, dev_slot, k, T, states0, init_bp)
         lat = self._build_lattice(ll, rec_arc, best_score, lattice_beam,
                                   pseudo_finals=pseudo)
         return words, ali, best_score, lat
+
+    def _final_plane(self, pseudo_finals):
+        """[S] f32 backward seed at time T: -final cost (NEG_INF for
+        non-final); pseudo mode seats every surviving token at cost 0."""
+        S = self.graph.num_states
+        if pseudo_finals is None:
+            cached = self._dev.get("final_plane")
+            if cached is None:
+                fin = np.asarray(self.graph.final, np.float32)
+                plane = np.where(np.isfinite(fin), -fin,
+                                 np.float32(NEG_INF)).astype(np.float32)
+                cached = self._dev["final_plane"] = jnp.asarray(plane)
+            return cached
+        fstates, fscores = pseudo_finals
+        plane = np.full(S, NEG_INF, np.float32)
+        ok = (fstates >= 0) & (fscores > NEG_INF / 2)
+        plane[fstates[ok]] = 0.0
+        return jnp.asarray(plane)
+
+    def _prune_records_device(self, dev_rec, dev_rsc, dev_rsrc, ll_dev,
+                              T, best_score, lattice_beam, pseudo_finals):
+        """Exact device-side forward-backward prune of the recorded
+        arcs + compaction to global arc ids (see _record_prune_scan).
+        Returns [T, 1, R] global-arc-id planes for _build_lattice."""
+        stages = 1 + self.eps_rounds
+        B_cap = self.K * stages
+        width = stages * self.A    # record entries per frame
+        final_plane = self._final_plane(pseudo_finals)
+        thresh = jnp.float32(best_score - lattice_beam
+                             - self.record_prune_margin)
+        n_chunks = len(dev_rec)
+
+        def run(R_pr: int):
+            R_pr = min(R_pr, width)
+            bst = jnp.full((B_cap,), INVALID_DST, jnp.int32)
+            bsc = jnp.full((B_cap,), NEG_INF, jnp.float32)
+            kept, counts = [None] * n_chunks, [None] * n_chunks
+            for i in range(n_chunks - 1, -1, -1):
+                (bst_, bsc_), kept[i], counts[i] = _record_prune_scan(
+                    dev_rec[i], dev_rsc[i], dev_rsrc[i], ll_dev,
+                    jnp.int32(i * self.chunk), jnp.int32(T),
+                    self._dev["em_pack"], self._dev["ep_pack"],
+                    self._dev["em_arc"], self._dev["ep_arc"],
+                    final_plane, bst, bsc,
+                    jnp.float32(self.acoustic_scale), thresh,
+                    stages, self.chunk, B_cap, R_pr)
+                bst, bsc = bst_, bsc_
+            return kept, counts
+
+        kept, counts = run(self.rec_budget)
+        counts = np.concatenate([np.asarray(c) for c in counts])[:T]
+        max_count = int(counts.max()) if T else 0
+        self.last_record_drops = 0
+        if max_count > self.rec_budget:
+            # escalate the per-frame budget (power-of-two so the jit
+            # cache stays bounded); counts are exact survivor counts,
+            # so a capped budget's drops are counted, not silent
+            R = 1 << (max_count - 1).bit_length()
+            if R > self.rec_budget_max:
+                R = self.rec_budget_max
+                self.last_record_drops = int(
+                    np.maximum(counts - R, 0).sum())
+                get_logger("beam").warning(
+                    "lattice records capped at %d/frame: dropped %d "
+                    "lowest-scored surviving arcs", R,
+                    self.last_record_drops)
+            kept, _ = run(R)
+        rec = np.concatenate([np.asarray(kv) for kv in kept])
+        return rec[:T][:, None, :]
 
     def _backtrace_device(self, dev_arc, dev_slot, k, T, states0,
                           init_bp):
@@ -678,160 +991,165 @@ class BeamSearchDecoder:
 
     def _build_lattice(self, loglikes, rec_arc, best_score, lattice_beam,
                        pseudo_finals=None):
-        """Sparse forward-backward over recorded arcs.
+        """Sparse forward-backward over recorded arcs, fully
+        vectorized.
 
-        Records give, per frame and stage, candidate arcs surviving the
-        decode beam.  Recorded eps arcs (which occur *after* the
-        emitting stage of their frame, i.e. at the next time index) are
-        folded as prefixes into the emitting arcs they precede — the
-        same eps-free arc shape the dense lattice builder uses
-        (decoder/lattice.py epsfree_arcs) but restricted to the
-        recorded sparse set, so it stays O(recorded arcs) instead of
-        O(states × arcs).  An arc survives if its forward score + best
-        completion is within lattice_beam of the best path.  Eps
-        suffixes into final states are folded into final costs (word
-        outputs on a pure eps suffix are dropped, matching the dense
-        builder's behavior)."""
+        Records give, per frame, candidate arcs surviving the decode
+        beam (global arc ids, compacted on device).  Recorded eps arcs
+        (which occur *after* the emitting stage of their frame, i.e. at
+        the next time index) are folded as prefixes into the emitting
+        arcs they precede — the same eps-free arc shape the dense
+        lattice builder uses (decoder/lattice.py epsfree_arcs) but
+        restricted to the recorded sparse set.  The per-frame closure
+        and folding are numpy sort-merge joins (_join_sorted /
+        _closure_arrays); forward/backward scores live in dense [S]
+        arrays with touched-entry resets, so per-frame cost is
+        O(folded arcs · log) with no per-arc Python.  An arc survives
+        if its forward score + best completion is within lattice_beam
+        of the best path; eps suffixes into final states fold into
+        final costs (word outputs on a pure eps suffix are dropped,
+        matching the dense builder)."""
         g = self.graph.packed
         T = len(loglikes)
-        pdf = self.tid_to_pdf
+        pdf = np.asarray(self.tid_to_pdf)
         ll = np.asarray(loglikes)
-        # rec_arc: [T, stages, N] GLOBAL arc ids, -1 padded (mapped and
-        # compacted on device by decode_lattice)
+        scale = float(self.acoustic_scale)
+        rounds = max(self.eps_rounds, 1)
+        wmax = rounds + 1  # eps-prefix words + emitting-arc word
 
         # recorded arcs by time: eps arcs recorded in frame t happen at
-        # time t+1; emitting arcs of frame t span t → t+1.  Vectorized:
-        # the naive triple loop is T x stages x A python iterations
-        # (~400k per utterance) and dominated decode RTF.
-        eps_at: List[List[int]] = [[] for _ in range(T + 1)]
-        em_at: List[List[int]] = [[] for _ in range(T)]
+        # time t+1; emitting arcs of frame t span t → t+1
+        eps_at = [np.zeros(0, np.int64) for _ in range(T + 1)]
+        em_at = [np.zeros(0, np.int64) for _ in range(T)]
         if T > 0 and rec_arc.size:
             flat = rec_arc.reshape(T, -1)
             tt, pos = np.nonzero(flat >= 0)
             arcs = flat[tt, pos]
             is_eps = g.ilabel[arcs] == 0
-            for t, a in zip(*np.unique(
-                    np.stack([tt[is_eps] + 1, arcs[is_eps]]), axis=1)):
-                eps_at[t].append(int(a))
-            for t, a in zip(*np.unique(
-                    np.stack([tt[~is_eps], arcs[~is_eps]]), axis=1)):
-                em_at[t].append(int(a))
+            eps_at = _bucket_pairs_by_time(
+                tt[is_eps] + 1, arcs[is_eps], T + 1)
+            em_at = _bucket_pairs_by_time(tt[~is_eps], arcs[~is_eps], T)
         # time-0 eps arcs come from the host init closure
         states0, scores0, init_bp = self._init_frontier()
-        eps_at[0] = sorted(set(eps_at[0])
-                           | {int(a) for a in init_bp.values()})
+        eps_at[0] = np.unique(np.concatenate(
+            [eps_at[0],
+             np.asarray(sorted(init_bp.values()), np.int64)]))
 
-        def prefix_closure(eps_arcs, sources):
-            """clo[u][v] = best (weight, words) eps path u→v over the
-            recorded eps arcs, computed ONLY from ``sources`` (states
-            that carry forward mass — rows for dead states cost the
-            same to build and contribute nothing; an all-pairs
-            relaxation here was ~half of the lattice-build time)."""
-            adj: Dict[int, List[Tuple[int, float, Tuple[int, ...]]]] = {}
-            for a in eps_arcs:
-                adj.setdefault(int(g.src[a]), []).append(
-                    (int(g.dst[a]), float(g.weight[a]),
-                     ((int(g.olabel[a]),) if g.olabel[a] > 0 else ())))
-            clo: Dict[int, Dict[int, Tuple[float, Tuple[int, ...]]]] = {}
-            for u in sources:
-                best = {u: (0.0, ())}
-                stack = [u]
-                while stack:
-                    x = stack.pop()
-                    bw, bwords = best[x]
-                    for (v, w_a, words_a) in adj.get(x, ()):
-                        w = bw + w_a
-                        cur = best.get(v)
-                        if cur is None or w < cur[0] - 1e-12:
-                            best[v] = (w, bwords + words_a)
-                            stack.append(v)
-                clo[u] = best
-            return clo
+        # dense score planes with touched-entry reset (S can be 10^6;
+        # a fresh [S] fill per frame would be O(T*S))
+        S = self.graph.num_states
+        FD = np.full(S, -np.inf, np.float64)
+        live = states0[(states0 >= 0) & (scores0 > NEG_INF / 2)]
+        live = np.unique(live.astype(np.int64))
+        np.maximum.at(FD, states0[states0 >= 0].astype(np.int64),
+                      scores0[states0 >= 0].astype(np.float64))
 
-        # forward pass interleaved with eps folding: frame t's closure
-        # is computed only from states carrying forward mass, and only
-        # folded arcs with live sources are kept (exact — a dead-source
-        # arc can never survive the forward-backward prune)
-        fwd: List[Dict[int, float]] = [dict() for _ in range(T + 1)]
-        for s, c in zip(states0, scores0):
-            if s >= 0 and c > NEG_INF / 2:
-                fwd[0][int(s)] = max(fwd[0].get(int(s), -np.inf),
-                                     float(c))
-        folded: List[List[Tuple]] = [[] for _ in range(T)]
+        # per-frame folded-arc arrays kept for backward + prune
+        folded = []
         for t in range(T):
-            live = fwd[t]
-            clo = (prefix_closure(eps_at[t], live.keys())
-                   if eps_at[t] and live else {})
-            nxt = fwd[t + 1]
-            out_t = folded[t]
-            for a in em_at[t]:
-                srcs, d = int(g.src[a]), int(g.dst[a])
-                tid = int(g.ilabel[a])
-                ac = float(-ll[t, pdf[tid]])
-                w_a = float(g.weight[a])
-                words_a = ((int(g.olabel[a]),)
-                           if g.olabel[a] > 0 else ())
-                if srcs in live:
-                    out_t.append((srcs, d, tid, words_a, w_a, ac))
-                    sc_ = live[srcs] - w_a - self.acoustic_scale * ac
-                    if sc_ > nxt.get(d, -np.inf):
-                        nxt[d] = sc_
-                for u, reach in clo.items():
-                    hit = reach.get(srcs)
-                    if hit is None or u == srcs:
-                        continue
-                    w0, words0 = hit
-                    out_t.append((u, d, tid, words0 + words_a,
-                                  w0 + w_a, ac))
-                    sc_ = live[u] - w0 - w_a - self.acoustic_scale * ac
-                    if sc_ > nxt.get(d, -np.inf):
-                        nxt[d] = sc_
+            em = em_at[t]
+            if len(em) == 0 or len(live) == 0:
+                folded.append(None)
+                FD[live] = -np.inf
+                live = np.zeros(0, np.int64)
+                continue
+            cu, cv, cw, cwords, ccnt = _closure_arrays(
+                g, eps_at[t], live, rounds, wmax)
+            # join closure targets with emitting-arc sources
+            o = np.argsort(cv, kind="stable")
+            cu, cv, cw = cu[o], cv[o], cw[o]
+            cwords, ccnt = cwords[o], ccnt[o]
+            esrc = g.src[em].astype(np.int64)
+            rep, mi = _join_sorted(cv, esrc)
+            if len(rep) == 0:
+                folded.append(None)
+                FD[live] = -np.inf
+                live = np.zeros(0, np.int64)
+                continue
+            fa = em[rep]
+            fu = cu[mi]
+            fdst = g.dst[fa].astype(np.int64)
+            ftid = g.ilabel[fa].astype(np.int64)
+            fw = cw[mi] + g.weight[fa].astype(np.float64)
+            fac = -ll[t, pdf[ftid]].astype(np.float64)
+            fwords = cwords[mi].copy()
+            fcnt = ccnt[mi].copy()
+            eo = g.olabel[fa].astype(np.int32)
+            has = eo > 0
+            if has.any():
+                fwords[np.nonzero(has)[0], fcnt[has]] = eo[has]
+                fcnt = fcnt + has
+            base = FD[fu]
+            cand = base - fw - scale * fac
+            # advance the dense forward plane
+            FD[live] = -np.inf
+            live = np.unique(fdst)
+            np.maximum.at(FD, fdst, cand)
+            folded.append(
+                dict(u=fu, dst=fdst, tid=ftid, w=fw, ac=fac,
+                     words=fwords, cnt=fcnt, base=base))
 
         # final costs + eps-suffix folding at time T
         if pseudo_finals is not None:
             # no real final reached: every surviving last-frame token is
             # final at zero cost (GetRawLattice use_final_probs=false)
             fstates, fscores = pseudo_finals
-            finals = {int(s): 0.0 for s, c in zip(fstates, fscores)
-                      if s >= 0 and c > NEG_INF / 2}
+            ok = (fstates >= 0) & (fscores > NEG_INF / 2)
+            finals = {int(s): 0.0 for s in np.unique(fstates[ok])}
         else:
-            finals = {s: float(c) for s, c in enumerate(self.graph.final)
-                      if np.isfinite(c)}
-            clo_T = (prefix_closure(eps_at[T], fwd[T].keys())
-                     if eps_at[T] and fwd[T] else {})
-            for u, reach in clo_T.items():
-                for v, (w0, _words) in reach.items():
-                    if v in finals:
-                        cand = w0 + finals[v]
-                        if cand < finals.get(u, np.inf):
-                            finals[u] = cand
+            fin_all = np.asarray(self.graph.final, np.float64)
+            fin_idx = np.nonzero(np.isfinite(fin_all))[0]
+            finals = {int(s): float(fin_all[s]) for s in fin_idx}
+            if len(eps_at[T]) and len(live):
+                cu, cv, cw, _cword, _ccnt = _closure_arrays(
+                    g, eps_at[T], live, rounds, wmax)
+                fin_cost = np.asarray(self.graph.final, np.float64)
+                reach_final = np.isfinite(fin_cost[cv])
+                for u_, v_, w_ in zip(cu[reach_final], cv[reach_final],
+                                      cw[reach_final]):
+                    cand = float(w_) + fin_cost[v_]
+                    if cand < finals.get(int(u_), np.inf):
+                        finals[int(u_)] = float(cand)
+        FD[live] = -np.inf
 
-        bwd: List[Dict[int, float]] = [dict() for _ in range(T + 1)]
+        # backward pass over the folded arrays (dense plane + touched
+        # reset, same trick)
+        BD = np.full(S, -np.inf, np.float64)
+        btouched = np.asarray(sorted(finals.keys()), np.int64)
         for s, c in finals.items():
-            bwd[T][s] = -c
+            BD[s] = max(BD[s], -c)
+        tails = [None] * T
         for t in range(T - 1, -1, -1):
-            cur = bwd[t]
-            for (u, d, tid, words, w_gr, w_ac) in folded[t]:
-                tail = bwd[t + 1].get(d)
-                if tail is None:
-                    continue
-                cand = tail - w_gr - self.acoustic_scale * w_ac
-                if cand > cur.get(u, -np.inf):
-                    cur[u] = cand
+            f = folded[t]
+            if f is None:
+                BD[btouched] = -np.inf
+                btouched = np.zeros(0, np.int64)
+                continue
+            tail = BD[f["dst"]]
+            tails[t] = tail
+            cand = tail - f["w"] - scale * f["ac"]
+            BD[btouched] = -np.inf
+            btouched = np.unique(f["u"])
+            np.maximum.at(BD, f["u"], cand)
+        BD[btouched] = -np.inf
 
-        thresh = best_score - lattice_beam
+        # prune + emit
+        thresh = float(best_score) - float(lattice_beam)
         arcs_out: List[LatticeArc] = []
         for t in range(T):
-            for (u, d, tid, words, w_gr, w_ac) in folded[t]:
-                base = fwd[t].get(u)
-                tail = bwd[t + 1].get(d)
-                if base is None or tail is None:
-                    continue
-                if base - w_gr - self.acoustic_scale * w_ac + tail \
-                        < thresh:
-                    continue
+            f = folded[t]
+            if f is None:
+                continue
+            tot = f["base"] - f["w"] - scale * f["ac"] + tails[t]
+            keep = np.nonzero(tot >= thresh - 1e-9)[0]
+            words_m = f["words"]
+            cnt_m = f["cnt"]
+            for i in keep:
                 arcs_out.append(LatticeArc(
-                    t + 1, u, d, tid, words, w_gr, w_ac))
+                    t + 1, int(f["u"][i]), int(f["dst"][i]),
+                    int(f["tid"][i]),
+                    tuple(int(x) for x in words_m[i, :cnt_m[i]]),
+                    float(f["w"][i]), float(f["ac"][i])))
         return Lattice(T, arcs_out, self.graph.start, finals)
 
 

@@ -350,3 +350,40 @@ def test_decode_empty_utterance_keeps_init_eps_words():
     # eps-chain words only through the decode() result; the lattice
     # must at least have a complete (possibly wordless) path
     assert np.isfinite(cost)
+
+
+def test_lattice_record_budget_escalation_and_cap():
+    """Dense survivors: the device compaction escalates its budget in
+    powers of two instead of fetching full planes; when capped at
+    rec_budget_max it keeps the BEST-scored records per frame and
+    counts the drops (no silent caps)."""
+    lang, packed, lut = _small_setup()
+    y, n = lang.phones.id("Y"), lang.phones.id("N")
+    seq = [0, n, n, 0, y, 0]
+    ll = _scores(lang, seq, conf=0.4)  # flat scores -> many survivors
+    ref = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                            acoustic_scale=1.0, beam=1e9,
+                            max_active=64, arc_budget=1024, chunk=8)
+    _, _, _, lat_ref = ref.decode_lattice(ll, lattice_beam=10.0)
+    assert ref.last_record_drops == 0
+
+    # tiny initial budget, escalation allowed: lattice is identical
+    dec = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                            acoustic_scale=1.0, beam=1e9,
+                            max_active=64, arc_budget=1024, chunk=8)
+    dec.rec_budget = 2
+    words, ali, score, lat = dec.decode_lattice(ll, lattice_beam=10.0)
+    assert dec.last_record_drops == 0
+    assert lat.num_arcs() == lat_ref.num_arcs()
+
+    # cap engaged: drops counted, best path still intact
+    dec2 = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                             acoustic_scale=1.0, beam=1e9,
+                             max_active=64, arc_budget=1024, chunk=8)
+    dec2.rec_budget = 2
+    dec2.rec_budget_max = 4
+    w2, _, _, lat2 = dec2.decode_lattice(ll, lattice_beam=10.0)
+    assert dec2.last_record_drops > 0
+    assert lat2.num_arcs() < lat_ref.num_arcs()
+    wl, _ = lattice_best_path(lat2, acoustic_scale=1.0, lm_scale=1.0)
+    assert wl == words == w2
