@@ -934,10 +934,14 @@ class BeamSearchDecoder:
                     jnp.float32(self.acoustic_scale), thresh,
                     stages, self.chunk, B_cap, R_pr)
                 bst, bsc = bst_, bsc_
-            return kept, counts
+            # concat on device: EVERY host value fetch is a ~50 ms
+            # tunnel round trip, so per-chunk np.asarray pulls (2 x 47
+            # on a 60 s utterance) cost more than the prune compute —
+            # one stacked fetch per array amortizes the RTT
+            return jnp.concatenate(kept), jnp.concatenate(counts)
 
-        kept, counts = run(self.rec_budget)
-        counts = np.concatenate([np.asarray(c) for c in counts])[:T]
+        kept, counts_dev = run(self.rec_budget)
+        counts = np.asarray(counts_dev)[:T]
         max_count = int(counts.max()) if T else 0
         self.last_record_drops = 0
         if max_count > self.rec_budget:
@@ -954,7 +958,7 @@ class BeamSearchDecoder:
                     "lowest-scored surviving arcs", R,
                     self.last_record_drops)
             kept, _ = run(R)
-        rec = np.concatenate([np.asarray(kv) for kv in kept])
+        rec = np.asarray(kept)
         return rec[:T][:, None, :]
 
     def _backtrace_device(self, dev_arc, dev_slot, k, T, states0,
