@@ -370,20 +370,18 @@ def _beam_scan(
         stage_arc.append(jnp.where(chosen >= 0, picked[:, 0], -1))
         stage_slot.append(jnp.where(chosen >= 0, picked[:, 1], -1))
         if record_lattice:
-            # em planes are [A_em]; pad to the eps budget A so the
-            # per-stage record planes stack.  Padding frames (~v_t)
-            # must record nothing: their replayed frontier would
-            # inflate the device-compaction counts and the host
-            # lattice build.  Scores and source states ride along so
-            # the backward prune scan can rank and relax records.
-            pad = (0, A - A_em)
+            # em planes stay at their natural [A_em] width (the eps
+            # stages use the full budget A; padding em records up to A
+            # cost ~50 KB/frame of pure padding traffic through both
+            # scans).  Padding frames (~v_t) must record nothing:
+            # their replayed frontier would inflate the device-
+            # compaction counts and the host lattice build.  Scores
+            # and source states ride along so the backward prune scan
+            # can rank and relax records.
             src_st = st[slot]
-            rec_arc.append(jnp.pad(jnp.where(ok & v_t, arc_pos, -1),
-                                   pad, constant_values=-1))
-            rec_sc.append(jnp.pad(jnp.where(ok & v_t, cand, NEG_INF),
-                                  pad, constant_values=NEG_INF))
-            rec_src.append(jnp.pad(jnp.where(ok & v_t, src_st, -1),
-                                   pad, constant_values=-1))
+            rec_arc.append(jnp.where(ok & v_t, arc_pos, -1))
+            rec_sc.append(jnp.where(ok & v_t, cand, NEG_INF))
+            rec_src.append(jnp.where(ok & v_t, src_st, -1))
         st, sc = nst, nsc
 
         # ---- eps stages: relax non-emitting arcs, merge with frontier
@@ -425,8 +423,17 @@ def _beam_scan(
             [jnp.where(v_t, s, ident) for s in stage_slot])
         out = (arcs_out, slots_out, sc)
         if record_lattice:
-            out = out + (jnp.stack(rec_arc), jnp.stack(rec_sc),
-                         jnp.stack(rec_src))
+            # em planes at natural [A_em] width; eps planes stacked at
+            # [eps_rounds, A] (zero-size when the graph has no eps arcs)
+            def eps_stack(xs, fill, dtype):
+                if len(xs) > 1:
+                    return jnp.stack(xs[1:])
+                return jnp.full((0, A), fill, dtype)
+
+            out = out + (rec_arc[0], rec_sc[0], rec_src[0],
+                         eps_stack(rec_arc, -1, jnp.int32),
+                         eps_stack(rec_sc, NEG_INF, jnp.float32),
+                         eps_stack(rec_src, -1, jnp.int32))
         st = jnp.where(v_t, st, carry[0])
         sc = jnp.where(v_t, sc, carry[1])
         return (st, sc), out
@@ -487,6 +494,11 @@ def _dedup_sorted_set(states, scores, cap: int):
     s2 = jnp.where(keep, s1, INVALID_DST)
     v2 = jnp.where(keep, -negv, NEG_INF)
     s3, v3 = jax.lax.sort((s2, v2), num_keys=1)
+    pad = cap - s3.shape[0]
+    if pad > 0:   # fewer candidates than the set capacity
+        s3 = jnp.concatenate(
+            [s3, jnp.full((pad,), INVALID_DST, s3.dtype)])
+        v3 = jnp.concatenate([v3, jnp.full((pad,), NEG_INF, v3.dtype)])
     return s3[:cap], v3[:cap]
 
 
@@ -499,9 +511,12 @@ def _merge_sorted_set(bst, bsc, states, scores, cap: int):
 @partial(jax.jit, static_argnames=(
     "stages", "chunk", "B_cap", "R_pr"))
 def _record_prune_scan(
-    rec_pos,             # [chunk, stages, A] CSR positions, -1 pad
-    rec_sc,              # [chunk, stages, A] forward-through-arc scores
-    rec_src,             # [chunk, stages, A] source states, -1 pad
+    em_pos,              # [chunk, A_em] CSR positions, -1 pad
+    em_sc,               # [chunk, A_em] forward-through-arc scores
+    em_src,              # [chunk, A_em] source states, -1 pad
+    eps_pos,             # [chunk, stages-1, A] eps-stage planes
+    eps_sc,              # [chunk, stages-1, A]
+    eps_src,             # [chunk, stages-1, A]
     ll_all,              # [Tp, P] acoustic scores (device-resident)
     t0, total_t,         # chunk offset / true length (traced)
     em_pack, ep_pack,    # packed arc rows
@@ -530,7 +545,7 @@ def _record_prune_scan(
 
     def step(carry, inp):
         bst, bsc = carry
-        pos_t, sc_t, src_t, ll_t, t = inp
+        (pos_m, sc_m, src_m, pos_eps, sc_eps, src_eps, ll_t, t) = inp
         v_t = t < total_t
         boundary = t == total_t - 1
         B_st, B_sc = bst, bsc
@@ -539,7 +554,7 @@ def _record_prune_scan(
         score_planes = []
         # eps stages, reverse order (prefixes of frame t+1's emission)
         for s in range(stages - 1, 0, -1):
-            pos_e = pos_t[s]
+            pos_e = pos_eps[s - 1]
             ok_e = pos_e >= 0
             erow = ep_pack[jnp.maximum(pos_e, 0)]
             dst_e = erow[:, 0]
@@ -547,16 +562,15 @@ def _record_prune_scan(
             tail = _lookup_scores(B_st, B_sc, dst_e)
             tail = jnp.maximum(
                 tail, jnp.where(boundary, final_plane[dst_e], NEG_INF))
-            tot = sc_t[s] + tail
+            tot = sc_eps[s - 1] + tail
             keep_planes.append(ok_e & (tot >= thresh))
             score_planes.append(jnp.where(ok_e, tot, NEG_INF))
             cand_sc = jnp.where(ok_e, tail - w_e, NEG_INF)
             B_st, B_sc = _merge_sorted_set(
-                B_st, B_sc, jnp.where(ok_e, src_t[s], INVALID_DST),
+                B_st, B_sc, jnp.where(ok_e, src_eps[s - 1], INVALID_DST),
                 cand_sc, B_cap)
 
         # emitting stage (consumes frame t)
-        pos_m = pos_t[0]
         ok_m = pos_m >= 0
         row = em_pack[jnp.maximum(pos_m, 0)]
         dst_m = row[:, 0]
@@ -565,10 +579,10 @@ def _record_prune_scan(
         tail = _lookup_scores(B_st, B_sc, dst_m)
         tail = jnp.maximum(
             tail, jnp.where(boundary, final_plane[dst_m], NEG_INF))
-        tot = sc_t[0] + tail
+        tot = sc_m + tail
         keep_em = ok_m & (tot >= thresh)
         new_st, new_sc = _dedup_sorted_set(
-            jnp.where(ok_m, src_t[0], INVALID_DST),
+            jnp.where(ok_m, src_m, INVALID_DST),
             jnp.where(ok_m, ac - w_m + tail, NEG_INF), B_cap)
 
         # compact survivors (em stage first, then eps by ascending
@@ -579,7 +593,7 @@ def _record_prune_scan(
             [jnp.where(ok_m, tot, NEG_INF)] + score_planes[::-1])
         arcs = [jnp.where(ok_m, em_arc[jnp.maximum(pos_m, 0)], -1)]
         for s in range(1, stages):
-            pe = pos_t[s]
+            pe = pos_eps[s - 1]
             arcs.append(jnp.where(pe >= 0,
                                   ep_arc[jnp.maximum(pe, 0)], -1))
         arcs = jnp.concatenate(arcs)
@@ -595,7 +609,8 @@ def _record_prune_scan(
 
     (bst, bsc), (kept, counts) = jax.lax.scan(
         step, (bst, bsc),
-        (rec_pos, rec_sc, rec_src, loglikes, frames), reverse=True)
+        (em_pos, em_sc, em_src, eps_pos, eps_sc, eps_src,
+         loglikes, frames), reverse=True)
     return (bst, bsc), kept, counts
 
 
@@ -854,14 +869,13 @@ class BeamSearchDecoder:
         sc = jnp.asarray(scores0)
         ll_dev, _Tp = self._pad_device(ll, T)
         dev_arc, dev_slot = [], []
-        dev_rec, dev_rsc, dev_rsrc = [], [], []
+        dev_planes = []   # per chunk: (em_pos, em_sc, em_src,
+        #                                eps_pos, eps_sc, eps_src)
         for t0 in range(0, T, self.chunk):
             (st, sc), outs = self._scan_chunk(ll_dev, t0, T, st, sc, True)
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
-            dev_rec.append(outs[3])
-            dev_rsc.append(outs[4])
-            dev_rsrc.append(outs[5])
+            dev_planes.append(outs[3:9])
         states = np.asarray(st)
         scores = np.asarray(sc)
         k, best_score, is_final = self._best_final(states, scores)
@@ -880,8 +894,7 @@ class BeamSearchDecoder:
         # the whole utterance would produce a path-less lattice
         pseudo = None if is_final else (states, scores)
         rec_arc = self._prune_records_device(
-            dev_rec, dev_rsc, dev_rsrc, ll_dev, T, best_score,
-            lattice_beam, pseudo)
+            dev_planes, ll_dev, T, best_score, lattice_beam, pseudo)
         words, ali = self._backtrace_device(
             dev_arc, dev_slot, k, T, states0, init_bp)
         lat = self._build_lattice(ll, rec_arc, best_score, lattice_beam,
@@ -906,18 +919,19 @@ class BeamSearchDecoder:
         plane[fstates[ok]] = 0.0
         return jnp.asarray(plane)
 
-    def _prune_records_device(self, dev_rec, dev_rsc, dev_rsrc, ll_dev,
+    def _prune_records_device(self, dev_planes, ll_dev,
                               T, best_score, lattice_beam, pseudo_finals):
         """Exact device-side forward-backward prune of the recorded
         arcs + compaction to global arc ids (see _record_prune_scan).
         Returns [T, 1, R] global-arc-id planes for _build_lattice."""
         stages = 1 + self.eps_rounds
         B_cap = self.K * stages
-        width = stages * self.A    # record entries per frame
+        # record entries per frame (em planes ride at A_em)
+        width = self.A_em + self.eps_rounds * self.A
         final_plane = self._final_plane(pseudo_finals)
         thresh = jnp.float32(best_score - lattice_beam
                              - self.record_prune_margin)
-        n_chunks = len(dev_rec)
+        n_chunks = len(dev_planes)
 
         def run(R_pr: int):
             R_pr = min(R_pr, width)
@@ -926,7 +940,7 @@ class BeamSearchDecoder:
             kept, counts = [None] * n_chunks, [None] * n_chunks
             for i in range(n_chunks - 1, -1, -1):
                 (bst_, bsc_), kept[i], counts[i] = _record_prune_scan(
-                    dev_rec[i], dev_rsc[i], dev_rsrc[i], ll_dev,
+                    *dev_planes[i], ll_dev,
                     jnp.int32(i * self.chunk), jnp.int32(T),
                     self._dev["em_pack"], self._dev["ep_pack"],
                     self._dev["em_arc"], self._dev["ep_arc"],
