@@ -137,9 +137,12 @@ def test_bench_flagship_step_captures_no_device_arrays():
 def test_beam_decoder_compaction_captures_no_device_arrays():
     from kaldi_aslp_tpu.decoder.beam import _record_prune_scan
 
-    planes = jnp.full((4, 2, 8), -1, jnp.int32)
-    scores = jnp.full((4, 2, 8), -1e30, jnp.float32)
-    srcs = jnp.full((4, 2, 8), -1, jnp.int32)
+    em_pos = jnp.full((4, 8), -1, jnp.int32)
+    em_sc = jnp.full((4, 8), -1e30, jnp.float32)
+    em_src = jnp.full((4, 8), -1, jnp.int32)
+    eps_pos = jnp.full((4, 1, 8), -1, jnp.int32)
+    eps_sc = jnp.full((4, 1, 8), -1e30, jnp.float32)
+    eps_src = jnp.full((4, 1, 8), -1, jnp.int32)
     ll = jnp.zeros((4, 3), jnp.float32)
     em_pack = jnp.zeros((5, 3), jnp.int32)
     ep_pack = jnp.zeros((3, 2), jnp.int32)
@@ -152,5 +155,6 @@ def test_beam_decoder_compaction_captures_no_device_arrays():
         lambda *a: _record_prune_scan(
             *a, jnp.float32(1.0), jnp.float32(-10.0),
             stages=2, chunk=4, B_cap=8, R_pr=4),
-        planes, scores, srcs, ll, jnp.int32(0), jnp.int32(4),
+        em_pos, em_sc, em_src, eps_pos, eps_sc, eps_src,
+        ll, jnp.int32(0), jnp.int32(4),
         em_pack, ep_pack, em, ep, fin, bst, bsc)
