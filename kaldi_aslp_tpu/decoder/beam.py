@@ -319,7 +319,8 @@ def _dedup_topk(cand_dst, cand_score, valid, K: int):
 
 
 @partial(jax.jit, static_argnames=(
-    "K", "A", "A_em", "chunk", "eps_rounds", "record_lattice"))
+    "K", "A", "A_em", "chunk", "eps_rounds", "record_lattice",
+    "rec_budget"))
 def _beam_scan(
     ll_all,              # [Tp, P] device-resident acoustic scores
     t0,                  # scalar: first frame of this chunk
@@ -329,7 +330,7 @@ def _beam_scan(
     ep_se, ep_pack,          # eps [S,2] (start,deg) + packed [N,3] rows
     acoustic_scale, beam,
     K: int, A: int, A_em: int, chunk: int, eps_rounds: int,
-    record_lattice: bool,
+    record_lattice: bool, rec_budget: int = 0,
 ):
     """One chunk of frames starting at traced offset ``t0`` (the slice
     happens inside the jit so ONE compile serves every chunk — eager
@@ -350,6 +351,28 @@ def _beam_scan(
         rec_arc = []
         rec_sc = []
         rec_src = []
+        rec_cnt = []
+
+        def record(arc_pos_v, sc_vals, src_vals, ok_v):
+            """Record one stage's beam survivors; with rec_budget > 0
+            keep only the budget's best-forward-score entries and emit
+            the exact survivor count so the caller can detect drops and
+            escalate (records are a superset the backward prune
+            filters, so compaction by forward score is safe ONLY when
+            nothing is dropped — counts make that checkable)."""
+            ra = jnp.where(ok_v, arc_pos_v, -1)
+            rs = jnp.where(ok_v, sc_vals, NEG_INF)
+            rr = jnp.where(ok_v, src_vals, -1)
+            rec_cnt.append(jnp.sum(ok_v.astype(jnp.int32)))
+            if rec_budget and rec_budget < ra.shape[0]:
+                top, sel = jax.lax.top_k(rs, rec_budget)
+                alive = top > NEG_INF / 2
+                ra = jnp.where(alive, ra[sel], -1)
+                rr = jnp.where(alive, rr[sel], -1)
+                rs = top
+            rec_arc.append(ra)
+            rec_sc.append(rs)
+            rec_src.append(rr)
 
         # ---- stage 0: emitting arcs consume the acoustic frame ----
         # one row gather per arc: the packed [N, 4] layout turns four
@@ -370,7 +393,7 @@ def _beam_scan(
         stage_arc.append(jnp.where(chosen >= 0, picked[:, 0], -1))
         stage_slot.append(jnp.where(chosen >= 0, picked[:, 1], -1))
         if record_lattice:
-            # em planes stay at their natural [A_em] width (the eps
+            # em planes ride at their natural [A_em] width (the eps
             # stages use the full budget A; padding em records up to A
             # cost ~50 KB/frame of pure padding traffic through both
             # scans).  Padding frames (~v_t) must record nothing:
@@ -378,10 +401,7 @@ def _beam_scan(
             # compaction counts and the host lattice build.  Scores
             # and source states ride along so the backward prune scan
             # can rank and relax records.
-            src_st = st[slot]
-            rec_arc.append(jnp.where(ok & v_t, arc_pos, -1))
-            rec_sc.append(jnp.where(ok & v_t, cand, NEG_INF))
-            rec_src.append(jnp.where(ok & v_t, src_st, -1))
+            record(arc_pos, cand, st[slot], ok & v_t)
         st, sc = nst, nsc
 
         # ---- eps stages: relax non-emitting arcs, merge with frontier
@@ -409,9 +429,7 @@ def _beam_scan(
                 chosen < 0, -1,
                 jnp.where(from_eps, epicked[:, 1], sel)))
             if record_lattice:
-                rec_arc.append(jnp.where(ok & v_t, arc_pos, -1))
-                rec_sc.append(jnp.where(ok & v_t, cand_e, NEG_INF))
-                rec_src.append(jnp.where(ok & v_t, st[slot], -1))
+                record(arc_pos, cand_e, st[slot], ok & v_t)
             st, sc = nst, nsc
 
         # padding frames are no-ops; their backpointer planes are the
@@ -423,17 +441,21 @@ def _beam_scan(
             [jnp.where(v_t, s, ident) for s in stage_slot])
         out = (arcs_out, slots_out, sc)
         if record_lattice:
-            # em planes at natural [A_em] width; eps planes stacked at
-            # [eps_rounds, A] (zero-size when the graph has no eps arcs)
+            # em planes at natural [A_em] width (or the record budget);
+            # eps planes stacked at [eps_rounds, width] (zero-size when
+            # the graph has no eps arcs)
+            eps_w = min(rec_budget, A) if rec_budget else A
+
             def eps_stack(xs, fill, dtype):
                 if len(xs) > 1:
                     return jnp.stack(xs[1:])
-                return jnp.full((0, A), fill, dtype)
+                return jnp.full((0, eps_w), fill, dtype)
 
             out = out + (rec_arc[0], rec_sc[0], rec_src[0],
                          eps_stack(rec_arc, -1, jnp.int32),
                          eps_stack(rec_sc, NEG_INF, jnp.float32),
-                         eps_stack(rec_src, -1, jnp.int32))
+                         eps_stack(rec_src, -1, jnp.int32),
+                         jnp.stack(rec_cnt))
         st = jnp.where(v_t, st, carry[0])
         sc = jnp.where(v_t, sc, carry[1])
         return (st, sc), out
@@ -707,6 +729,11 @@ class BeamSearchDecoder:
         # last_record_drops
         self.rec_budget = 1024
         self.rec_budget_max = 16384
+        # per-stage width of the STORED record planes in the forward
+        # scan (exact: survivor counts ride along and any overflow
+        # re-runs the record pass at the next power of two) — the
+        # record prune scan's per-frame sorted-set ops scale with this
+        self.rec_fwd_budget = 2048
         self.last_record_drops = 0
         # extra slack on the device-side record prune: the recorded
         # scores are f32 running sums over the whole utterance, so
@@ -745,14 +772,14 @@ class BeamSearchDecoder:
         return ll_dev, Tp
 
     def _scan_chunk(self, ll_dev, t0: int, T: int, st, sc,
-                    record_lattice: bool):
+                    record_lattice: bool, rec_budget: int = 0):
         return _beam_scan(
             ll_dev, jnp.int32(t0), jnp.int32(T), st, sc,
             self._dev["em_se"], self._dev["em_pack"],
             self._dev["ep_se"], self._dev["ep_pack"],
             jnp.float32(self.acoustic_scale), jnp.float32(self.beam),
             self.K, self.A, self.A_em, self.chunk, self.eps_rounds,
-            record_lattice,
+            record_lattice, rec_budget,
         )
 
     # -- initial frontier: start state + host eps closure --------------
@@ -868,14 +895,37 @@ class BeamSearchDecoder:
         st = jnp.asarray(states0)
         sc = jnp.asarray(scores0)
         ll_dev, _Tp = self._pad_device(ll, T)
+        # forward pass with compacted record planes: per stage only the
+        # rec_fwd_budget best-forward-score beam survivors are stored.
+        # Exact survivor counts ride along; if any frame overflowed the
+        # budget, the record pass is re-run at the next power of two
+        # (backpointer planes don't depend on the budget and are kept)
+        R = self.rec_fwd_budget
         dev_arc, dev_slot = [], []
         dev_planes = []   # per chunk: (em_pos, em_sc, em_src,
         #                                eps_pos, eps_sc, eps_src)
+        cnts = []
         for t0 in range(0, T, self.chunk):
-            (st, sc), outs = self._scan_chunk(ll_dev, t0, T, st, sc, True)
+            (st, sc), outs = self._scan_chunk(ll_dev, t0, T, st, sc,
+                                              True, R)
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
             dev_planes.append(outs[3:9])
+            cnts.append(outs[9])
+        width = max(self.A, self.A_em)
+        while R < width and T > 0:
+            max_cnt = int(jnp.max(jnp.concatenate(cnts)))
+            if max_cnt <= R:
+                break
+            R = 1 << (max_cnt - 1).bit_length()
+            st2 = jnp.asarray(states0)
+            sc2 = jnp.asarray(scores0)
+            dev_planes, cnts = [], []
+            for t0 in range(0, T, self.chunk):
+                (st2, sc2), outs = self._scan_chunk(
+                    ll_dev, t0, T, st2, sc2, True, R)
+                dev_planes.append(outs[3:9])
+                cnts.append(outs[9])
         states = np.asarray(st)
         scores = np.asarray(sc)
         k, best_score, is_final = self._best_final(states, scores)
@@ -926,8 +976,10 @@ class BeamSearchDecoder:
         Returns [T, 1, R] global-arc-id planes for _build_lattice."""
         stages = 1 + self.eps_rounds
         B_cap = self.K * stages
-        # record entries per frame (em planes ride at A_em)
-        width = self.A_em + self.eps_rounds * self.A
+        # record entries per frame, from the actual (possibly budget-
+        # compacted) plane widths
+        width = dev_planes[0][0].shape[-1] \
+            + self.eps_rounds * dev_planes[0][3].shape[-1]
         final_plane = self._final_plane(pseudo_finals)
         thresh = jnp.float32(best_score - lattice_beam
                              - self.record_prune_margin)

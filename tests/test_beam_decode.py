@@ -387,3 +387,32 @@ def test_lattice_record_budget_escalation_and_cap():
     assert lat2.num_arcs() < lat_ref.num_arcs()
     wl, _ = lattice_best_path(lat2, acoustic_scale=1.0, lm_scale=1.0)
     assert wl == words == w2
+
+
+def test_lattice_fwd_record_budget_escalation():
+    """A tiny forward record-plane budget (stored-plane compaction)
+    forces the exact escalation re-run of the record pass; the lattice
+    is identical to the uncompacted one."""
+    lang, packed, lut = _small_setup()
+    y, n = lang.phones.id("Y"), lang.phones.id("N")
+    seq = [0, n, n, 0, y, 0]
+    ll = _scores(lang, seq, conf=0.4)  # flat scores -> many survivors
+    ref = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                            acoustic_scale=1.0, beam=1e9,
+                            max_active=64, arc_budget=1024, chunk=8)
+    ref.rec_fwd_budget = 10 ** 9   # natural widths, no compaction
+    w_ref, _, s_ref, lat_ref = ref.decode_lattice(ll, lattice_beam=10.0)
+
+    dec = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                            acoustic_scale=1.0, beam=1e9,
+                            max_active=64, arc_budget=1024, chunk=8)
+    dec.rec_fwd_budget = 2         # overflows -> escalation re-run
+    words, _, score, lat = dec.decode_lattice(ll, lattice_beam=10.0)
+    assert words == w_ref
+    assert score == pytest.approx(s_ref, abs=1e-4)
+    assert lat.num_arcs() == lat_ref.num_arcs()
+    wl, cost = lattice_best_path(lat, acoustic_scale=1.0, lm_scale=1.0)
+    wl_ref, cost_ref = lattice_best_path(lat_ref, acoustic_scale=1.0,
+                                         lm_scale=1.0)
+    assert wl == wl_ref
+    assert cost == pytest.approx(cost_ref, abs=1e-6)
