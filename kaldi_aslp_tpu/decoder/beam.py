@@ -326,7 +326,7 @@ def _beam_scan(
     t0,                  # scalar: first frame of this chunk
     total_t,             # scalar: true utterance length
     states, scores,      # carry-in frontier [K]
-    em_se, em_pack,          # [S,2] (start,deg) + packed [N,4] arc rows
+    em_se, em_pack,          # [S,2] (start,deg) + packed [N,3] arc rows
     ep_se, ep_pack,          # eps [S,2] (start,deg) + packed [N,3] rows
     acoustic_scale, beam,
     K: int, A: int, A_em: int, chunk: int, eps_rounds: int,
@@ -363,7 +363,10 @@ def _beam_scan(
             ra = jnp.where(ok_v, arc_pos_v, -1)
             rs = jnp.where(ok_v, sc_vals, NEG_INF)
             rr = jnp.where(ok_v, src_vals, -1)
-            rec_cnt.append(jnp.sum(ok_v.astype(jnp.int32)))
+            # count from the same predicate the compaction's alive mask
+            # uses (rs finite), so a survivor can never be dropped by
+            # the top-k below without registering as an overflow
+            rec_cnt.append(jnp.sum((rs > NEG_INF / 2).astype(jnp.int32)))
             if rec_budget and rec_budget < ra.shape[0]:
                 top, sel = jax.lax.top_k(rs, rec_budget)
                 alive = top > NEG_INF / 2
@@ -375,10 +378,10 @@ def _beam_scan(
             rec_src.append(rr)
 
         # ---- stage 0: emitting arcs consume the acoustic frame ----
-        # one row gather per arc: the packed [N, 4] layout turns four
-        # scattered HBM accesses (dst/pdf/weight/arc) into one —
+        # one row gather per arc: the packed [N, 3] layout (dst, pdf,
+        # bitcast weight) turns three scattered HBM accesses into one —
         # random-access gathers pay per touched cache line, not per
-        # element, so AoS beats SoA ~4x here (measured on v5e)
+        # element, so AoS beats SoA here (measured on v5e)
         arc_pos, slot, src_sc, ok = _expand(st, sc, em_se, A_em)
         row = em_pack[arc_pos]                   # [A_em, 3] int32
         cand_dst = row[:, 0]

@@ -4,9 +4,12 @@ CTC variant per aslp_scripts/ctc/).  Small configuration — asserts the
 whole chain runs and the decode clearly beats chance, not parity
 numbers (the full-size run is recipes/ls_synth.py's __main__)."""
 
+import pytest
+
 from kaldi_aslp_tpu.recipes.ls_synth import run
 
 
+@pytest.mark.slow
 def test_ls_synth_pipeline(tmp_path):
     out = run(str(tmp_path / "ls"), num_words=20, num_train=48,
               num_test=8, layers=1, proj=32, cell=48, num_streams=8,

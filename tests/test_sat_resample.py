@@ -82,6 +82,7 @@ def _speaker_corpus(rng):
     return lang, feats, texts, utt2spk
 
 
+@pytest.mark.slow
 def test_sat_training_improves_likelihood(rng):
     lang, feats, texts, utt2spk = _speaker_corpus(rng)
     mono = MonophoneTrainer(
