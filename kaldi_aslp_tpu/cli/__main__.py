@@ -18,7 +18,7 @@ TOOLS = {
     "aslp-nnet-train-simple": train_tools.nnet_train_simple,
     "aslp-nnet-train-mse": train_tools.nnet_train_simple,
     "aslp-nnet-train-frame": train_tools.nnet_train_simple,
-    "aslp-nnet-train-frame-mimo": train_tools.nnet_train_simple,
+    "aslp-nnet-train-frame-mimo": train_tools.nnet_train_frame_mimo,
     "aslp-nnet-train-ctc-streams": train_tools.nnet_train_ctc_streams,
     # warp-ctc role is folded into the single validated CTC impl
     "aslp-nnet-train-warp-ctc-streams": train_tools.nnet_train_ctc_streams,
@@ -80,11 +80,11 @@ TOOLS = {
     "aslp-nnet-copy": nnet_tools.nnet_copy,
     "aslp-nnet-dot": nnet_tools.nnet_dot,
     "aslp-nnet-forward": nnet_tools.nnet_forward_cli,
-    # forward variants: same loop, behavior via --skip-width/--skip-mode
-    # and the MIMO-capable library apply (reference: aslp-nnet-forward-
-    # skip.cc / -mimo.cc are parameter variants of the same main)
+    # forward variants: -skip/-blstm-lc are parameter variants of the
+    # same main (behavior via --skip-width/--skip-mode); -mimo takes the
+    # reference's own N-rspecifier arg shape (nnet_forward_mimo)
     "aslp-nnet-forward-skip": nnet_tools.nnet_forward_cli,
-    "aslp-nnet-forward-mimo": nnet_tools.nnet_forward_cli,
+    "aslp-nnet-forward-mimo": nnet_tools.nnet_forward_mimo,
     "aslp-nnet-forward-blstm-lc": nnet_tools.nnet_forward_cli,
     "aslp-nnet-insert": nnet_tools.nnet_insert,
     "aslp-nnet-convert-to-standard": nnet_tools.nnet_convert_to_standard,

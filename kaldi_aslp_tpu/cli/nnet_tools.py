@@ -99,6 +99,75 @@ def nnet_forward_cli(argv):
     return 0
 
 
+def nnet_forward_mimo(argv):
+    """MIMO forward (reference: aslp-nnetbin/aslp-nnet-forward-mimo.cc):
+    N feature rspecifiers — N validated against the net's input arity
+    (:75-79) — plus ONE output wspecifier; per the reference, when the
+    net is multi-output only the LAST output head is written
+    (:143-146 "If multitask, only write the last task out").  Readers
+    advance in lockstep and must agree on keys (:120-125)."""
+    opts = NnetForwardOptions()
+
+    @dataclasses.dataclass
+    class Flags(Config):
+        class_frame_counts: str = ""
+        prior_scale: float = 1.0
+
+    flags = Flags()
+    args = parse_options(
+        argv, [opts, flags],
+        "aslp-nnet-forward-mimo model feats-rspec-1 ... feats-rspec-N "
+        "out-wspec", 3, 66,
+    )
+    net, params, _ = Nnet.load(args[0])
+    n_in = net.num_inputs
+    if len(args) != 1 + n_in + 1:
+        print(f"aslp-nnet-forward-mimo: net has {n_in} input(s); "
+              f"expected {1 + n_in + 1} args (model + {n_in} feature "
+              f"rspecifiers + out-wspec), got {len(args)}",
+              file=sys.stderr)
+        return 1
+    prior = None
+    if flags.class_frame_counts:
+        counts = np.loadtxt(flags.class_frame_counts)
+        prior = PdfPrior(counts, prior_scale=flags.prior_scale)
+    import jax.numpy as jnp
+
+    readers = [sequential_matrix_reader(a) for a in args[1:1 + n_in]]
+    num_done = 0
+    with matrix_writer(args[-1]) as w:
+        for items in zip(*readers):
+            utt = items[0][0]
+            for utti, _ in items[1:]:
+                if utti != utt:
+                    print(f"aslp-nnet-forward-mimo: key mismatch "
+                          f"{utt} vs {utti} — check feature scp order",
+                          file=sys.stderr)
+                    return 1
+            xs = []
+            for _, mat in items:
+                x = np.asarray(mat, np.float32)
+                if opts.time_shift > 0:
+                    x = np.concatenate(
+                        [x[opts.time_shift:],
+                         np.repeat(x[-1:], opts.time_shift, 0)]
+                    )
+                xs.append(jnp.asarray(x[None]))
+            ys, _ = net.apply(params, xs if n_in > 1 else xs[0])
+            y = (ys[-1] if isinstance(ys, list) else ys)[0]
+            if not opts.no_softmax:
+                import jax
+                y = jax.nn.log_softmax(y, axis=-1)
+            elif opts.apply_log:
+                y = jnp.log(jnp.maximum(y, 1e-20))
+            if prior is not None:
+                y = prior.subtract(y)
+            w[utt] = np.asarray(y)
+            num_done += 1
+    logger.info("forwarded %d utterances", num_done)
+    return 0
+
+
 def ali_to_pdf(argv):
     """Needs the transition model — stored with our GMM systems as
     topology+pdf-map; here the mapping is supplied as a tid→pdf LUT

@@ -108,6 +108,144 @@ def nnet_train_simple(argv):
     return 0
 
 
+def nnet_train_frame_mimo(argv):
+    """MIMO frame trainer (reference:
+    aslp-nnetbin/aslp-nnet-train-frame-mimo.cc): positional args are
+    N feature rspecifiers + M target rspecifiers + model-in
+    [+ model-out unless --cross-validate], with N/M validated against
+    the net's input/output arity (:82-94).  --objective-function is
+    colon-separated per output head, e.g. "xent:mse", and its length
+    must equal the number of outputs (:104-111).  xent heads read int
+    alignment targets; mse heads read matrix targets."""
+    flags = TrainerFlags()
+    ropts = RandomizerOptions()
+    args = parse_options(
+        argv, [flags, ropts],
+        "aslp-nnet-train-frame-mimo feats-rspec-1..N targets-rspec-1..M "
+        "model-in [model-out]", 2, 66,
+    )
+    extra = 1 if flags.cross_validate else 2
+    model_in = args[-extra]
+    net, params, model_states = Nnet.load(model_in)
+    n_in, out_ids = net.num_inputs, net.output_ids()
+    n_out = len(out_ids)
+    if len(args) != n_in + n_out + extra:
+        print(f"aslp-nnet-train-frame-mimo: net has {n_in} input(s) / "
+              f"{n_out} output(s); expected {n_in + n_out + extra} args, "
+              f"got {len(args)}", file=sys.stderr)
+        return 1
+    objectives = flags.objective_function.split(":")
+    if len(objectives) != n_out:
+        print(f"aslp-nnet-train-frame-mimo: --objective-function needs "
+              f"{n_out} colon-separated entries, got "
+              f"{flags.objective_function!r}", file=sys.stderr)
+        return 1
+    for obj in objectives:
+        if obj not in ("xent", "mse"):
+            print(f"unknown objective {obj!r}", file=sys.stderr)
+            return 1
+    feat_specs = args[:n_in]
+    tgt_specs = args[n_in:n_in + n_out]
+
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu.io import random_access_matrix_reader
+    from kaldi_aslp_tpu.models.losses import mse_loss, xent_loss
+    from kaldi_aslp_tpu.train.sgd import make_sgd_update
+
+    tgt_readers = [
+        (random_access_int_vector_reader(spec) if obj == "xent"
+         else random_access_matrix_reader(spec))
+        for spec, obj in zip(tgt_specs, objectives)
+    ]
+
+    def utterances():
+        """Lockstep over the N sequential feature readers; targets by
+        random access (mirrors the reference's reader fan-in)."""
+        feat_iters = [sequential_matrix_reader(s) for s in feat_specs]
+        for items in zip(*feat_iters):
+            utt = items[0][0]
+            if any(u != utt for u, _ in items[1:]):
+                raise RuntimeError(
+                    f"feature key mismatch at {utt} — check scp order")
+            if any(utt not in r for r in tgt_readers):
+                logger.warning("no targets for %s, skipping", utt)
+                continue
+            feats = [np.asarray(m, np.float32) for _, m in items]
+            tgts = [np.asarray(r[utt]) for r in tgt_readers]
+            n = min(min(len(f) for f in feats),
+                    min(len(t) for t in tgts))
+            yield ([f[:n] for f in feats], [t[:n] for t in tgts])
+
+    opts = NnetTrainOptions(learn_rate=flags.learn_rate,
+                            momentum=flags.momentum,
+                            l1_penalty=flags.l1_penalty,
+                            l2_penalty=flags.l2_penalty)
+    update = make_sgd_update(net, opts)
+
+    def multi_loss(p, feats_list, tgt_list, w, rng, train):
+        ys, _ = net.apply(p, feats_list if n_in > 1 else feats_list[0],
+                          train=train, rng=rng)
+        if not isinstance(ys, list):
+            ys = [ys]
+        total = 0.0
+        auxes = []
+        for y, t, obj in zip(ys, tgt_list, objectives):
+            fn = xent_loss if obj == "xent" else mse_loss
+            l, aux = fn(y, t, w)
+            total = total + l
+            auxes.append(aux)
+        return total, auxes
+
+    @jax.jit
+    def step(params, velocity, feats_list, tgt_list, w, lr, rng):
+        (loss, auxes), grads = jax.value_and_grad(
+            lambda p: multi_loss(p, feats_list, tgt_list, w, rng, True),
+            has_aux=True)(params)
+        params, velocity = update(params, grads, velocity, lr)
+        return params, velocity, auxes
+
+    @jax.jit
+    def evaluate(params, feats_list, tgt_list, w):
+        _, auxes = multi_loss(params, feats_list, tgt_list, w, None,
+                              False)
+        return auxes
+
+    def minibatches():
+        r = FrameRandomizer(ropts)
+        for feats, tgts in utterances():
+            r.feed(*feats, *tgts)
+            if r.full():
+                yield from r.iterate_minibatches()
+        yield from r.flush()
+
+    reporters = [LossReporter(obj) for obj in objectives]
+    velocity = init_velocity(params)
+    lr = jnp.asarray(flags.learn_rate, jnp.float32)
+    base_rng = jax.random.PRNGKey(flags.seed)
+    n_batches = 0
+    for batch in minibatches():
+        feats_list = [jnp.asarray(a, jnp.float32) for a in batch[:n_in]]
+        tgt_list = [
+            jnp.asarray(a, jnp.int32 if obj == "xent" else jnp.float32)
+            for a, obj in zip(batch[n_in:], objectives)
+        ]
+        w = jnp.ones(len(batch[0]), jnp.float32)
+        if flags.cross_validate:
+            auxes = evaluate(params, feats_list, tgt_list, w)
+        else:
+            n_batches += 1
+            rng = jax.random.fold_in(base_rng, n_batches)
+            params, velocity, auxes = step(
+                params, velocity, feats_list, tgt_list, w, lr, rng)
+        for rep, aux in zip(reporters, auxes):
+            rep.update(aux)
+    for i, rep in enumerate(reporters):
+        print(f"[output {i}] {rep.report()}")
+    if not flags.cross_validate:
+        net.save(args[-1], params, model_states)
+    return 0
+
+
 def nnet_train_ctc_streams(argv):
     """(reference: aslp-nnet-train-ctc-streams.cc)."""
     flags = TrainerFlags()
