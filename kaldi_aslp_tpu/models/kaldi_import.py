@@ -78,7 +78,7 @@ def read_kaldi_nnet(path_or_file) -> Tuple[Nnet, Dict[str, dict]]:
     kaldi_io.expect_token(f, "<Nnet>")
 
     comps: List[Tuple[object, dict, Optional[int],
-                      Optional[List[int]], Optional[List[int]]]] = []
+                      Optional[List[int]], Optional[List[int]], str]] = []
     while True:
         _skip_space(f)
         token = kaldi_io.read_token(f)
@@ -113,16 +113,26 @@ def read_kaldi_nnet(path_or_file) -> Tuple[Nnet, Dict[str, dict]]:
             f.seek(pos)
             comp_id, inputs, offsets = None, None, None
         comp, params = _read_component_data(f, token, dim_in, dim_out)
-        comps.append((comp, params, comp_id, inputs, offsets))
+        comps.append((comp, params, comp_id, inputs, offsets, token))
 
-    net = Nnet()
+    # graph-format files carry <InputLayer>/<OutputLayer> pseudo
+    # components (reference: nnet-io.h:19,40; Nnet::InitInputOutput
+    # collects them as the net's MIMO ports).  The k-th InputLayer
+    # becomes a Transmit node fed from network input k.
+    input_ordinal: Dict[int, int] = {}
+    for _c, _p, cid, _i, _o, tok in comps:
+        if tok == "<InputLayer>" and cid is not None:
+            input_ordinal[cid] = len(input_ordinal)
+    net = Nnet(num_inputs=max(1, len(input_ordinal)))
     all_params: Dict[str, dict] = {}
     id_to_index = {}
-    for idx, (comp, _p, cid, _i, _o) in enumerate(comps):
+    for idx, (comp, _p, cid, _i, _o, _t) in enumerate(comps):
         if cid is not None:
             id_to_index[cid] = idx
-    for idx, (comp, params, cid, inputs, offsets) in enumerate(comps):
-        if inputs is None or not inputs or inputs[0] == -1:
+    for idx, (comp, params, cid, inputs, offsets, tok) in enumerate(comps):
+        if tok == "<InputLayer>" and cid in input_ordinal:
+            edge = [(f"in:{input_ordinal[cid]}", 0)]
+        elif inputs is None or not inputs or inputs[0] == -1:
             edge = None  # chain default / network input
         else:
             edge = [
@@ -138,6 +148,15 @@ def _read_component_data(f: BinaryIO, token: str, dim_in: int,
                          dim_out: int):
     if token in _ACTIVATIONS:
         return _ACTIVATIONS[token](dim_in, dim_out), {}
+    if token in ("<InputLayer>", "<OutputLayer>"):
+        # identity pass-throughs, no payload (nnet-io.h:19,40)
+        return S.Transmit(dim_in, dim_out), {}
+    if token == "<ScaleLayer>":
+        # constant scalar scale (nnet-io.h ScaleLayer WriteData)
+        kaldi_io.expect_token(f, "<Scale>")
+        scale = _read_float(f)
+        comp = S.Rescale(dim_in, dim_out)
+        return comp, {"s": jnp.full((dim_in,), scale, jnp.float32)}
     if token == "<AffineTransform>":
         kaldi_io.expect_token(f, "<LearnRateCoef>")
         lrc = _read_float(f)
