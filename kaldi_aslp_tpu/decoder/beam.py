@@ -351,18 +351,29 @@ def _beam_scan(
         rec_arc = []
         rec_sc = []
         rec_src = []
+        rec_dst = []
+        rec_dl = []
         rec_cnt = []
 
-        def record(arc_pos_v, sc_vals, src_vals, ok_v):
+        def record(arc_pos_v, sc_vals, src_vals, dst_vals, dl_vals,
+                   ok_v):
             """Record one stage's beam survivors; with rec_budget > 0
             keep only the budget's best-forward-score entries and emit
             the exact survivor count so the caller can detect drops and
             escalate (records are a superset the backward prune
             filters, so compaction by forward score is safe ONLY when
-            nothing is dropped — counts make that checkable)."""
+            nothing is dropped — counts make that checkable).
+
+            ``dst_vals``/``dl_vals`` (arc destination, ac - w "delta")
+            ride along so the backward prune needs NO packed-arc
+            re-gathers at all (TPU random gathers measured ~1 GB/s —
+            re-reading em_pack/ep_pack per chunk cost more than the
+            whole prune scan)."""
             ra = jnp.where(ok_v, arc_pos_v, -1)
             rs = jnp.where(ok_v, sc_vals, NEG_INF)
             rr = jnp.where(ok_v, src_vals, -1)
+            rd = jnp.where(ok_v, dst_vals, -1)
+            rl = jnp.where(ok_v, dl_vals, NEG_INF)
             # count from the same predicate the compaction's alive mask
             # uses (rs finite), so a survivor can never be dropped by
             # the top-k below without registering as an overflow
@@ -372,10 +383,14 @@ def _beam_scan(
                 alive = top > NEG_INF / 2
                 ra = jnp.where(alive, ra[sel], -1)
                 rr = jnp.where(alive, rr[sel], -1)
+                rd = jnp.where(alive, rd[sel], -1)
+                rl = jnp.where(alive, rl[sel], NEG_INF)
                 rs = top
             rec_arc.append(ra)
             rec_sc.append(rs)
             rec_src.append(rr)
+            rec_dst.append(rd)
+            rec_dl.append(rl)
 
         # ---- stage 0: emitting arcs consume the acoustic frame ----
         # one row gather per arc: the packed [N, 3] layout (dst, pdf,
@@ -404,7 +419,7 @@ def _beam_scan(
             # compaction counts and the host lattice build.  Scores
             # and source states ride along so the backward prune scan
             # can rank and relax records.
-            record(arc_pos, cand, st[slot], ok & v_t)
+            record(arc_pos, cand, st[slot], cand_dst, ac - w, ok & v_t)
         st, sc = nst, nsc
 
         # ---- eps stages: relax non-emitting arcs, merge with frontier
@@ -432,7 +447,7 @@ def _beam_scan(
                 chosen < 0, -1,
                 jnp.where(from_eps, epicked[:, 1], sel)))
             if record_lattice:
-                record(arc_pos, cand_e, st[slot], ok & v_t)
+                record(arc_pos, cand_e, st[slot], dst_e, -w_e, ok & v_t)
             st, sc = nst, nsc
 
         # padding frames are no-ops; their backpointer planes are the
@@ -455,9 +470,12 @@ def _beam_scan(
                 return jnp.full((0, eps_w), fill, dtype)
 
             out = out + (rec_arc[0], rec_sc[0], rec_src[0],
+                         rec_dst[0], rec_dl[0],
                          eps_stack(rec_arc, -1, jnp.int32),
                          eps_stack(rec_sc, NEG_INF, jnp.float32),
                          eps_stack(rec_src, -1, jnp.int32),
+                         eps_stack(rec_dst, -1, jnp.int32),
+                         eps_stack(rec_dl, NEG_INF, jnp.float32),
                          jnp.stack(rec_cnt))
         st = jnp.where(v_t, st, carry[0])
         sc = jnp.where(v_t, sc, carry[1])
@@ -468,175 +486,158 @@ def _beam_scan(
     return (states, scores), outs
 
 
-def _lookup_scores(bst, bsc, q):
-    """Score of each query state in the sorted set (bst asc, INVALID_DST
-    padded; bsc scores) — NEG_INF on miss.
+def _groupmax_sorted(srcq: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Per-source max of (src, val) pairs, laid out so each group's max
+    sits at the LEFTMOST position of that src in sorted-key order —
+    exactly where a leftmost binary search over the sorted keys lands.
 
-    One sort + associative scan + unsort instead of
-    ``jnp.searchsorted``: binary search lowers to log2(|set|) chained
-    [N] gathers on TPU (the same pathology that cost 4.3 ms/frame in
-    the old arc expansion), while sorts are vectorized."""
-    nb = bst.shape[0]
-    nq = q.shape[0]
-    marker = jnp.int32(INVALID_DST)
-    keys = jnp.concatenate([bst, q])
-    # set rows sort BEFORE query rows of the same key
-    isq = jnp.concatenate([jnp.zeros(nb, jnp.int32),
-                           jnp.ones(nq, jnp.int32)])
-    vals = jnp.concatenate([bsc, jnp.full((nq,), NEG_INF, jnp.float32)])
-    pos = jnp.concatenate([jnp.full((nb,), nq, jnp.int32),
-                           jnp.arange(nq, dtype=jnp.int32)])
-    sk, sq, sv, sp = jax.lax.sort((keys, isq, vals, pos), num_keys=2)
-    # carry the most recent set entry (key, val) through the sorted run
-    ck = jnp.where(sq == 0, sk, marker)
-    cv = sv
-
-    def comb(a, b):
-        ak, av = a
-        bk, bv = b
-        take_b = bk != marker
-        return (jnp.where(take_b, bk, ak), jnp.where(take_b, bv, av))
-
-    rk, rv = jax.lax.associative_scan(comb, (ck, cv))
-    hit = (rk == sk) & (sq == 1)
-    out_val = jnp.where(hit, rv, NEG_INF)
-    # unsort: queries carry their original index in sp (set rows = nq
-    # sort after in-range queries only if nq padding...); order rows by
-    # (is-set, sp) so queries come first in original order
-    _, _, vq = jax.lax.sort((1 - sq, sp, out_val), num_keys=2)
-    return vq[:nq]
+    One 2-key sort: lexicographic (src asc, -val asc) puts every run's
+    best value first.  The key order depends only on the (static) src
+    multiset, so lookup positions are precomputable outside the scan
+    even though the values are dynamic.  This replaced an in-scan
+    segmented associative_scan whose ~14 log-depth passes per stage per
+    frame were pure dispatch overhead on TPU (measured 3 ms/frame; one
+    sort is ~40 us)."""
+    _, negmax = jax.lax.sort((srcq, -vals), num_keys=2)
+    return -negmax
 
 
-def _dedup_sorted_set(states, scores, cap: int):
-    """(state, score) candidates → per-state max, returned as a sorted
-    fixed-[cap] set (INVALID_DST / NEG_INF padded).  Mirrors
-    _dedup_topk's sort-based dedup but keeps state order instead of
-    score order."""
-    sd = jnp.where(scores > NEG_INF / 2, states, INVALID_DST)
-    s1, negv = jax.lax.sort((sd, -scores), num_keys=2)
-    first = jnp.concatenate([jnp.ones((1,), bool), s1[1:] != s1[:-1]])
-    keep = first & (s1 < INVALID_DST)
-    s2 = jnp.where(keep, s1, INVALID_DST)
-    v2 = jnp.where(keep, -negv, NEG_INF)
-    s3, v3 = jax.lax.sort((s2, v2), num_keys=1)
-    pad = cap - s3.shape[0]
-    if pad > 0:   # fewer candidates than the set capacity
-        s3 = jnp.concatenate(
-            [s3, jnp.full((pad,), INVALID_DST, s3.dtype)])
-        v3 = jnp.concatenate([v3, jnp.full((pad,), NEG_INF, v3.dtype)])
-    return s3[:cap], v3[:cap]
+def _bs_left(keys: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Batched leftmost binary search: ``keys`` [..., N] sorted rows,
+    ``q`` [..., M] queries with matching leading dims.  Unrolled
+    log2(N) take_along_axis steps — batched gathers OUTSIDE any
+    sequential scan, where they vectorize across rows."""
+    N = keys.shape[-1]
+    lo = jnp.zeros(q.shape, jnp.int32)
+    hi = jnp.full(q.shape, N, jnp.int32)
+    # N+1 possible insertion points: ceil(log2(N+1)) halvings leave the
+    # worst-case interval at length 1, so one MORE step is required to
+    # resolve it (a 12-step search over 4096 keys returned a wrong
+    # leftmost position for exactly one query pattern — measured)
+    steps = max(int(np.ceil(np.log2(N + 1))) + 1, 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        km = jnp.take_along_axis(keys, jnp.minimum(mid, N - 1), axis=-1)
+        # `cont` makes converged lanes no-ops: without it an extra
+        # iteration at lo == hi == N reads the clamped key and can push
+        # lo out of range
+        cont = lo < hi
+        go_right = cont & (km < q)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(cont & ~go_right, mid, hi)
+    return lo
 
 
-def _merge_sorted_set(bst, bsc, states, scores, cap: int):
-    """Per-state max of an existing sorted set and new candidates."""
-    return _dedup_sorted_set(jnp.concatenate([bst, states]),
-                             jnp.concatenate([bsc, scores]), cap)
-
-
-@partial(jax.jit, static_argnames=(
-    "stages", "chunk", "B_cap", "R_pr"))
-def _record_prune_scan(
-    em_pos,              # [chunk, A_em] CSR positions, -1 pad
-    em_sc,               # [chunk, A_em] forward-through-arc scores
-    em_src,              # [chunk, A_em] source states, -1 pad
-    eps_pos,             # [chunk, stages-1, A] eps-stage planes
-    eps_sc,              # [chunk, stages-1, A]
-    eps_src,             # [chunk, stages-1, A]
-    ll_all,              # [Tp, P] acoustic scores (device-resident)
-    t0, total_t,         # chunk offset / true length (traced)
-    em_pack, ep_pack,    # packed arc rows
+@partial(jax.jit, static_argnames=("stages", "chunk", "R_pr"))
+def _record_prune_chunk(
+    em_pos,              # [chunk, Wm] CSR positions, -1 pad
+    em_sc,               # [chunk, Wm] forward-through-arc scores
+    em_src,              # [chunk, Wm] source states, -1 pad
+    em_dst,              # [chunk, Wm] destination states, -1 pad
+    em_dl,               # [chunk, Wm] ac - w "delta" per arc
+    eps_pos,             # [chunk, stages-1, Wp] eps-stage planes
+    eps_sc,              # [chunk, stages-1, Wp]
+    eps_src,             # [chunk, stages-1, Wp]
+    eps_dst,             # [chunk, stages-1, Wp]
+    eps_dl,              # [chunk, stages-1, Wp] -w per eps arc
+    valid,               # [chunk] bool: frame < total_t
     em_arc, ep_arc,      # CSR position → global arc id
-    final_plane,         # [S] f32: -final_cost at time T (NEG_INF else)
-    bst, bsc,            # carry-in backward set [B_cap]
-    acoustic_scale, thresh,
-    stages: int, chunk: int, B_cap: int, R_pr: int,
+    V,                   # [S] f32 dense backward values (carry; seeded
+    #                      with -final_cost / pseudo-finals for the
+    #                      LAST chunk — padding frames pass it through)
+    thresh,
+    stages: int, chunk: int, R_pr: int,
 ):
-    """Reverse scan over record planes: exact forward-backward prune of
-    the recorded arcs ON DEVICE (reference: PruneActiveTokens /
-    PruneForwardLinks, src/decoder/lattice-faster-decoder.h:96-364 —
-    there incremental over the token list, here one reverse pass).
+    """Forward-backward prune of the recorded arcs (reference role:
+    PruneActiveTokens / PruneForwardLinks,
+    src/decoder/lattice-faster-decoder.h:96-364 — there incremental
+    over token lists, here one reverse pass).
 
-    For every recorded arc, its recorded score is already the best
-    forward score THROUGH the arc; the scan maintains the backward
-    completion set B (sorted state→score, bounded by K·stages states
-    since record sources come from ≤K frontiers) and keeps an arc iff
-    forward + backward clears ``thresh``.  Survivors are compacted to
-    ``R_pr`` per frame (best-score first) and mapped to global arc ids,
-    so only the TRUE lattice arcs cross the host boundary — the
-    unpruned superset is ~100-1000x larger on dense decodes and its
-    fetch + host folding dominated lattice RTF."""
-    loglikes = jax.lax.dynamic_slice_in_dim(ll_all, t0, chunk)
-    frames = t0 + jnp.arange(chunk)
+    Design history (all measured on v5e through the remote tunnel):
+    round 2 kept a sorted backward SET and paid ~6 sorted-set ops per
+    frame in the scan (0.68 ms/frame); a precomputed-join rewrite
+    (batched binary searches outside the scan + one group-max sort per
+    stage inside) made the scan cheap (0.19 ms/frame) but the batched
+    ``take_along_axis`` binary searches cost 350 ms per 128-frame chunk
+    — TPU random gathers run near 1 element/cycle, so 13-step searches
+    over [128, 12k] queries dominated everything.  This version keeps
+    the backward values in a DENSE [num_states] f32 table instead
+    (2.2 MB on the 540k-state bench graph): per frame per stage, tail =
+    one V[dst] gather, update = one fresh-table scatter-max at src
+    (~34 ms/chunk total, no precomputed joins at all).  The arc deltas
+    (ac - w) ride in the record planes from the forward pass, so the
+    prune re-reads NO packed-arc tables.
 
-    def step(carry, inp):
-        bst, bsc = carry
-        (pos_m, sc_m, src_m, pos_eps, sc_eps, src_eps, ll_t, t) = inp
-        v_t = t < total_t
-        boundary = t == total_t - 1
-        B_st, B_sc = bst, bsc
+    Returns (V', kept [chunk, R_pr] global arc ids, counts [chunk])."""
+    E = stages - 1
+    S = V.shape[0]
 
-        keep_planes = []
-        score_planes = []
-        # eps stages, reverse order (prefixes of frame t+1's emission)
-        for s in range(stages - 1, 0, -1):
-            pos_e = pos_eps[s - 1]
-            ok_e = pos_e >= 0
-            erow = ep_pack[jnp.maximum(pos_e, 0)]
-            dst_e = erow[:, 0]
-            w_e = jax.lax.bitcast_convert_type(erow[:, 1], jnp.float32)
-            tail = _lookup_scores(B_st, B_sc, dst_e)
-            tail = jnp.maximum(
-                tail, jnp.where(boundary, final_plane[dst_e], NEG_INF))
-            tot = sc_eps[s - 1] + tail
-            keep_planes.append(ok_e & (tot >= thresh))
-            score_planes.append(jnp.where(ok_e, tot, NEG_INF))
-            cand_sc = jnp.where(ok_e, tail - w_e, NEG_INF)
-            B_st, B_sc = _merge_sorted_set(
-                B_st, B_sc, jnp.where(ok_e, src_eps[s - 1], INVALID_DST),
-                cand_sc, B_cap)
+    live_m = em_pos >= 0
+    arcid_m = jnp.where(live_m, em_arc[jnp.maximum(em_pos, 0)], -1)
+    eps_arcid = []
+    for s in range(E):
+        pos = eps_pos[:, s]
+        eps_arcid.append(
+            jnp.where(pos >= 0, ep_arc[jnp.maximum(pos, 0)], -1))
 
-        # emitting stage (consumes frame t)
-        ok_m = pos_m >= 0
-        row = em_pack[jnp.maximum(pos_m, 0)]
-        dst_m = row[:, 0]
-        ac = acoustic_scale * ll_t[row[:, 1]]
-        w_m = jax.lax.bitcast_convert_type(row[:, 2], jnp.float32)
-        tail = _lookup_scores(B_st, B_sc, dst_m)
-        tail = jnp.maximum(
-            tail, jnp.where(boundary, final_plane[dst_m], NEG_INF))
-        tot = sc_m + tail
-        keep_em = ok_m & (tot >= thresh)
-        new_st, new_sc = _dedup_sorted_set(
-            jnp.where(ok_m, src_m, INVALID_DST),
-            jnp.where(ok_m, ac - w_m + tail, NEG_INF), B_cap)
+    em_scan = dict(sc=em_sc, src=em_src, dst=em_dst, dl=em_dl)
+    eps_scan = [dict(sc=eps_sc[:, s], src=eps_src[:, s],
+                     dst=eps_dst[:, s], dl=eps_dl[:, s])
+                for s in range(E)]
 
-        # compact survivors (em stage first, then eps by ascending
-        # stage) to R_pr global arc ids, best-total first
-        keeps = jnp.concatenate(
-            [keep_em] + keep_planes[::-1]) & v_t
-        tots = jnp.concatenate(
-            [jnp.where(ok_m, tot, NEG_INF)] + score_planes[::-1])
-        arcs = [jnp.where(ok_m, em_arc[jnp.maximum(pos_m, 0)], -1)]
-        for s in range(1, stages):
-            pe = pos_eps[s - 1]
-            arcs.append(jnp.where(pe >= 0,
-                                  ep_arc[jnp.maximum(pe, 0)], -1))
-        arcs = jnp.concatenate(arcs)
-        rank_sc = jnp.where(keeps, tots, NEG_INF)
-        top_sc, sel = jax.lax.top_k(rank_sc, R_pr)
-        kept = jnp.where(top_sc > NEG_INF / 2, arcs[sel], -1)
-        count = keeps.sum()
+    def step(V, xs):
+        em, eps, v_t = xs
+        # eps stages in reverse: stage s continues via LATER eps
+        # stages of the same frame and via the next frame's em (V)
+        veps = []
+        tot_e = []
+        for s in range(E - 1, -1, -1):
+            e = eps[s]
+            dst = jnp.maximum(e["dst"], 0)
+            tail = V[dst]
+            for k in range(E - 1, s, -1):
+                tail = jnp.maximum(tail, veps[E - 1 - k][dst])
+            tail = jnp.where(e["dst"] >= 0, tail, NEG_INF)
+            tot_e.append(e["sc"] + tail)
+            # dead entries carry src -1, which would WRAP to S-1 under
+            # jit — remap to S so mode="drop" genuinely drops them
+            src_ix = jnp.where(e["src"] >= 0, e["src"], S)
+            veps.append(jnp.full((S,), NEG_INF, jnp.float32).at[
+                src_ix].max(tail + e["dl"], mode="drop"))
+        dst = jnp.maximum(em["dst"], 0)
+        tail = V[dst]
+        for s in range(E):
+            tail = jnp.maximum(tail, veps[E - 1 - s][dst])
+        tail = jnp.where(em["dst"] >= 0, tail, NEG_INF)
+        tot_m = em["sc"] + tail
+        src_ix = jnp.where(em["src"] >= 0, em["src"], S)
+        Vn = jnp.full((S,), NEG_INF, jnp.float32).at[
+            src_ix].max(tail + em["dl"], mode="drop")
+        # padding frames record nothing and must pass V through
+        Vn = jnp.where(v_t, Vn, V)
+        tot_e_out = (jnp.stack(tot_e[::-1])
+                     if E else jnp.zeros((0, em["sc"].shape[-1]),
+                                         jnp.float32))
+        return Vn, (tot_m, tot_e_out)
 
-        # padding frames pass the carry through untouched
-        new_st = jnp.where(v_t, new_st, bst)
-        new_sc = jnp.where(v_t, new_sc, bsc)
-        return (new_st, new_sc), (kept, count)
+    V2, (tot_m_all, tot_e_all) = jax.lax.scan(
+        step, V, (em_scan, eps_scan, valid), reverse=True)
 
-    (bst, bsc), (kept, counts) = jax.lax.scan(
-        step, (bst, bsc),
-        (em_pos, em_sc, em_src, eps_pos, eps_sc, eps_src,
-         loglikes, frames), reverse=True)
-    return (bst, bsc), kept, counts
+    # ---- batched post: threshold, exact counts, top-R_pr compaction
+    # to global arc ids ----
+    rank = tot_m_all
+    arcids = arcid_m
+    if E:
+        rank = jnp.concatenate(
+            [rank] + [tot_e_all[:, s] for s in range(E)], axis=1)
+        arcids = jnp.concatenate([arcids] + eps_arcid, axis=1)
+    keeps = rank >= thresh
+    counts = keeps.sum(axis=1)
+    masked = jnp.where(keeps, rank, NEG_INF)
+    top_sc, sel = jax.lax.top_k(masked, min(R_pr, masked.shape[1]))
+    kept = jnp.where(top_sc > NEG_INF / 2,
+                     jnp.take_along_axis(arcids, sel, axis=1), -1)
+    return V2, kept, counts
 
 
 @partial(jax.jit, static_argnames=("stages",))
@@ -732,6 +733,10 @@ class BeamSearchDecoder:
         # last_record_drops
         self.rec_budget = 1024
         self.rec_budget_max = 16384
+        # natural-width record planes (no in-scan compaction at all)
+        # whenever they fit this HBM budget; beyond it the forward pass
+        # falls back to rec_fwd_budget compaction with escalation
+        self.record_mem_bytes = 2 << 30
         # per-stage width of the STORED record planes in the forward
         # scan (exact: survivor counts ride along and any overflow
         # re-runs the record pass at the next power of two) — the
@@ -899,24 +904,30 @@ class BeamSearchDecoder:
         sc = jnp.asarray(scores0)
         ll_dev, _Tp = self._pad_device(ll, T)
         # forward pass with compacted record planes: per stage only the
-        # rec_fwd_budget best-forward-score beam survivors are stored.
-        # Exact survivor counts ride along; if any frame overflowed the
-        # budget, the record pass is re-run at the next power of two
-        # (backpointer planes don't depend on the budget and are kept)
-        R = self.rec_fwd_budget
+        # rec_fwd_budget best-forward-score beam survivors are stored —
+        # UNLESS the natural-width planes fit the memory budget, in
+        # which case no in-scan compaction runs at all (R=0): nothing
+        # can overflow, no escalation re-run, and the forward pass costs
+        # barely more than best-path (beam-saturated graphs keep ~all
+        # candidates, so compaction there only burned top_k time and a
+        # second forward pass)
+        est_bytes = (T * (self.A_em + self.eps_rounds * self.A) * 5 * 4)
+        R = 0 if est_bytes <= self.record_mem_bytes \
+            else self.rec_fwd_budget
         dev_arc, dev_slot = [], []
-        dev_planes = []   # per chunk: (em_pos, em_sc, em_src,
-        #                                eps_pos, eps_sc, eps_src)
+        dev_planes = []   # per chunk: (em_pos, em_sc, em_src, em_dst,
+        #                   em_dl, eps_pos, eps_sc, eps_src, eps_dst,
+        #                   eps_dl)
         cnts = []
         for t0 in range(0, T, self.chunk):
             (st, sc), outs = self._scan_chunk(ll_dev, t0, T, st, sc,
                                               True, R)
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
-            dev_planes.append(outs[3:9])
-            cnts.append(outs[9])
+            dev_planes.append(outs[3:13])
+            cnts.append(outs[13])
         width = max(self.A, self.A_em)
-        while R < width and T > 0:
+        while R and R < width and T > 0:
             max_cnt = int(jnp.max(jnp.concatenate(cnts)))
             if max_cnt <= R:
                 break
@@ -927,8 +938,8 @@ class BeamSearchDecoder:
             for t0 in range(0, T, self.chunk):
                 (st2, sc2), outs = self._scan_chunk(
                     ll_dev, t0, T, st2, sc2, True, R)
-                dev_planes.append(outs[3:9])
-                cnts.append(outs[9])
+                dev_planes.append(outs[3:13])
+                cnts.append(outs[13])
         states = np.asarray(st)
         scores = np.asarray(sc)
         k, best_score, is_final = self._best_final(states, scores)
@@ -975,34 +986,32 @@ class BeamSearchDecoder:
     def _prune_records_device(self, dev_planes, ll_dev,
                               T, best_score, lattice_beam, pseudo_finals):
         """Exact device-side forward-backward prune of the recorded
-        arcs + compaction to global arc ids (see _record_prune_scan).
+        arcs + compaction to global arc ids (see _record_prune_chunk).
         Returns [T, 1, R] global-arc-id planes for _build_lattice."""
         stages = 1 + self.eps_rounds
-        B_cap = self.K * stages
         # record entries per frame, from the actual (possibly budget-
         # compacted) plane widths
         width = dev_planes[0][0].shape[-1] \
-            + self.eps_rounds * dev_planes[0][3].shape[-1]
-        final_plane = self._final_plane(pseudo_finals)
+            + self.eps_rounds * dev_planes[0][5].shape[-1]
         thresh = jnp.float32(best_score - lattice_beam
                              - self.record_prune_margin)
         n_chunks = len(dev_planes)
 
         def run(R_pr: int):
             R_pr = min(R_pr, width)
-            bst = jnp.full((B_cap,), INVALID_DST, jnp.int32)
-            bsc = jnp.full((B_cap,), NEG_INF, jnp.float32)
+            # dense backward seed: -final_cost per state (or the
+            # pseudo-final plane); padding frames pass it through so
+            # the boundary frame t = T-1 reads finals straight from V
+            V = self._final_plane(pseudo_finals)
             kept, counts = [None] * n_chunks, [None] * n_chunks
             for i in range(n_chunks - 1, -1, -1):
-                (bst_, bsc_), kept[i], counts[i] = _record_prune_scan(
-                    *dev_planes[i], ll_dev,
-                    jnp.int32(i * self.chunk), jnp.int32(T),
-                    self._dev["em_pack"], self._dev["ep_pack"],
+                t0 = i * self.chunk
+                valid = jnp.asarray(
+                    np.arange(t0, t0 + self.chunk) < T)
+                V, kept[i], counts[i] = _record_prune_chunk(
+                    *dev_planes[i], valid,
                     self._dev["em_arc"], self._dev["ep_arc"],
-                    final_plane, bst, bsc,
-                    jnp.float32(self.acoustic_scale), thresh,
-                    stages, self.chunk, B_cap, R_pr)
-                bst, bsc = bst_, bsc_
+                    V, thresh, stages, self.chunk, R_pr)
             # concat on device: EVERY host value fetch is a ~50 ms
             # tunnel round trip, so per-chunk np.asarray pulls (2 x 47
             # on a 60 s utterance) cost more than the prune compute —

@@ -407,6 +407,8 @@ def test_lattice_fwd_record_budget_escalation():
                             acoustic_scale=1.0, beam=1e9,
                             max_active=64, arc_budget=1024, chunk=8)
     dec.rec_fwd_budget = 2         # overflows -> escalation re-run
+    dec.record_mem_bytes = 0       # disable the R=0 natural-width path
+    #                                so the compaction actually engages
     words, _, score, lat = dec.decode_lattice(ll, lattice_beam=10.0)
     assert words == w_ref
     assert score == pytest.approx(s_ref, abs=1e-4)
@@ -416,3 +418,134 @@ def test_lattice_fwd_record_budget_escalation():
                                          lm_scale=1.0)
     assert wl == wl_ref
     assert cost == pytest.approx(cost_ref, abs=1e-6)
+
+
+def test_lattice_always_contains_decoder_best_path():
+    """INVARIANT (reference: GetRawLattice always includes the best
+    path, src/decoder/lattice-faster-decoder.h:96-364): for any graph /
+    acoustics / beam, the pruned lattice's own best path must equal the
+    decoder's backtraced 1-best, at matching cost.
+
+    Regression: a 12-step leftmost binary search over 4096 keys in the
+    record prune resolved one query pattern wrong (off-by-one in the
+    step count), silently severing the backward value chain mid-
+    utterance — lattices came back with NO complete path while the
+    backtrace was fine.  Random multi-chunk decodes at a moderate beam
+    exercise exactly that join."""
+    W, P, NP = 200, 2, 32
+    g, pdf, lut = synth_hclg(W, P, NP, seed=3)
+    rng = np.random.RandomState(7)
+    dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                            acoustic_scale=1.0, beam=9.0,
+                            max_active=256, chunk=16)
+    for trial in range(3):
+        # noisy scores with a planted-ish path: multi-chunk T
+        T = int(rng.randint(40, 70))
+        ll = rng.uniform(-9.0, -6.0, size=(T, NP)).astype(np.float32)
+        ll[np.arange(T), rng.randint(0, NP, T)] = -0.5
+        words, ali, score, lat = dec.decode_lattice(
+            np.asarray(ll), lattice_beam=7.0)
+        wl, cost = lattice_best_path(lat, acoustic_scale=1.0,
+                                     lm_scale=1.0)
+        assert wl == list(words), (trial, wl, words)
+        assert -cost == pytest.approx(score, abs=1e-2), trial
+
+
+def test_record_prune_matches_numpy_mirror():
+    """The device record prune (chunked reverse scan with precomputed
+    joins + group-max sorts) must keep exactly the arcs a plain numpy
+    backward pass over the same record planes keeps (per-frame survivor
+    sets AND counts) — the per-frame mirror of PruneForwardLinks."""
+    import jax.numpy as jnp
+    import kaldi_aslp_tpu.decoder.beam as B
+
+    W, P, NP = 120, 2, 24
+    g, pdf, lut = synth_hclg(W, P, NP, seed=11)
+    rng = np.random.RandomState(13)
+    dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                            acoustic_scale=1.0, beam=8.0,
+                            max_active=128, chunk=8)
+    T = 37   # several chunks + a ragged tail
+    ll = rng.uniform(-9.0, -6.0, size=(T, NP)).astype(np.float32)
+    ll[np.arange(T), rng.randint(0, NP, T)] = -0.5
+
+    states0, scores0, _ = dec._init_frontier()
+    st = jnp.asarray(states0)
+    sc = jnp.asarray(scores0)
+    ll_dev, _ = dec._pad_device(ll, T)
+    planes = []
+    for t0 in range(0, T, dec.chunk):
+        (st, sc), outs = dec._scan_chunk(ll_dev, t0, T, st, sc, True, 0)
+        planes.append([np.asarray(x) for x in outs[3:13]])
+    states, scores = np.asarray(st), np.asarray(sc)
+    k, best_score, is_final = dec._best_final(states, scores)
+    pseudo = None if is_final else (states, scores)
+
+    lattice_beam = 7.0
+    rec = dec._prune_records_device(
+        [tuple(jnp.asarray(x) for x in p) for p in planes],
+        ll_dev, T, best_score, lattice_beam, pseudo)
+    dev_kept = [set(a for a in rec[t, 0] if a >= 0) for t in range(T)]
+
+    # ---- numpy mirror (recomputes ac/w from the packed arc tables —
+    # independently checks the recorded dst/delta planes too) ----
+    em_pos = np.concatenate([p[0] for p in planes])[:T]
+    em_sc = np.concatenate([p[1] for p in planes])[:T]
+    em_src = np.concatenate([p[2] for p in planes])[:T]
+    eps_pos = np.concatenate([p[5] for p in planes])[:T]
+    eps_sc = np.concatenate([p[6] for p in planes])[:T]
+    eps_src = np.concatenate([p[7] for p in planes])[:T]
+    em_pack = np.asarray(dec._dev["em_pack"])
+    ep_pack = np.asarray(dec._dev["ep_pack"])
+    em_arc = np.asarray(dec._dev["em_arc"])
+    ep_arc = np.asarray(dec._dev["ep_arc"])
+    fin = np.asarray(g.final, np.float32)
+    final_plane = np.where(np.isfinite(fin), -fin,
+                           B.NEG_INF).astype(np.float32)
+    if not is_final:
+        final_plane = np.full_like(final_plane, B.NEG_INF)
+        okf = (states >= 0) & (scores > B.NEG_INF / 2)
+        final_plane[states[okf]] = 0.0
+    thresh = best_score - lattice_beam - dec.record_prune_margin
+    E = dec.eps_rounds
+
+    def f32w(i):
+        return np.frombuffer(np.int32(i).tobytes(), np.float32)[0]
+
+    V: dict = {}
+    for t in range(T - 1, -1, -1):
+        boundary = t == T - 1
+        ref_kept = set()
+        Veps = [dict() for _ in range(E)]
+        for s in range(E - 1, -1, -1):
+            for j in np.where(eps_pos[t, s] >= 0)[0]:
+                p = eps_pos[t, s, j]
+                dst = ep_pack[p, 0]
+                tail = max(
+                    final_plane[dst] if boundary else B.NEG_INF,
+                    V.get(dst, B.NEG_INF),
+                    max((Veps[s2].get(dst, B.NEG_INF)
+                         for s2 in range(s + 1, E)),
+                        default=B.NEG_INF))
+                if eps_sc[t, s, j] + tail >= thresh:
+                    ref_kept.add(int(ep_arc[p]))
+                src = eps_src[t, s, j]
+                v = tail - f32w(ep_pack[p, 1])
+                Veps[s][src] = max(Veps[s].get(src, B.NEG_INF), v)
+        Vnew: dict = {}
+        for j in np.where(em_pos[t] >= 0)[0]:
+            p = em_pos[t, j]
+            dst = em_pack[p, 0]
+            tail = max(
+                final_plane[dst] if boundary else B.NEG_INF,
+                V.get(dst, B.NEG_INF),
+                max((Veps[s2].get(dst, B.NEG_INF) for s2 in range(E)),
+                    default=B.NEG_INF))
+            if em_sc[t, j] + tail >= thresh:
+                ref_kept.add(int(em_arc[p]))
+            src = em_src[t, j]
+            v = dec.acoustic_scale * ll[t, em_pack[p, 1]] \
+                - f32w(em_pack[p, 2]) + tail
+            Vnew[src] = max(Vnew.get(src, B.NEG_INF), v)
+        V = Vnew
+        assert dev_kept[t] == ref_kept, (t, dev_kept[t], ref_kept)

@@ -135,26 +135,26 @@ def test_bench_flagship_step_captures_no_device_arrays():
 
 
 def test_beam_decoder_compaction_captures_no_device_arrays():
-    from kaldi_aslp_tpu.decoder.beam import _record_prune_scan
+    from kaldi_aslp_tpu.decoder.beam import _record_prune_chunk
 
     em_pos = jnp.full((4, 8), -1, jnp.int32)
     em_sc = jnp.full((4, 8), -1e30, jnp.float32)
     em_src = jnp.full((4, 8), -1, jnp.int32)
+    em_dst = jnp.full((4, 8), -1, jnp.int32)
+    em_dl = jnp.full((4, 8), -1e30, jnp.float32)
     eps_pos = jnp.full((4, 1, 8), -1, jnp.int32)
     eps_sc = jnp.full((4, 1, 8), -1e30, jnp.float32)
     eps_src = jnp.full((4, 1, 8), -1, jnp.int32)
-    ll = jnp.zeros((4, 3), jnp.float32)
-    em_pack = jnp.zeros((5, 3), jnp.int32)
-    ep_pack = jnp.zeros((3, 2), jnp.int32)
+    eps_dst = jnp.full((4, 1, 8), -1, jnp.int32)
+    eps_dl = jnp.full((4, 1, 8), -1e30, jnp.float32)
+    valid = jnp.ones((4,), bool)
     em = jnp.arange(5, dtype=jnp.int32)
     ep = jnp.arange(3, dtype=jnp.int32)
-    fin = jnp.full((6,), -1e30, jnp.float32)
-    bst = jnp.full((8,), 2 ** 30, jnp.int32)
-    bsc = jnp.full((8,), -1e30, jnp.float32)
+    V = jnp.full((6,), -1e30, jnp.float32)
     assert not device_consts(
-        lambda *a: _record_prune_scan(
-            *a, jnp.float32(1.0), jnp.float32(-10.0),
-            stages=2, chunk=4, B_cap=8, R_pr=4),
-        em_pos, em_sc, em_src, eps_pos, eps_sc, eps_src,
-        ll, jnp.int32(0), jnp.int32(4),
-        em_pack, ep_pack, em, ep, fin, bst, bsc)
+        lambda *a: _record_prune_chunk(
+            *a, jnp.float32(-10.0),
+            stages=2, chunk=4, R_pr=4),
+        em_pos, em_sc, em_src, em_dst, em_dl,
+        eps_pos, eps_sc, eps_src, eps_dst, eps_dl,
+        valid, em, ep, V)
