@@ -59,6 +59,11 @@ class CtcRecipeOptions(Config):
     # feature bytes over the host->device link (data/transport.py):
     # f32 passthrough | bf16 | int8
     transport: str = "f32"
+    # > 0: decode with the beam-pruned decoder at this beam instead of
+    # the exact dense DP (mandatory when the TLG outgrows the dense
+    # [T, S] table)
+    decode_beam: float = 0.0
+    decode_max_active: int = 2048
 
 
 class CtcRecipe:
@@ -137,10 +142,21 @@ class CtcRecipe:
                 {w: 1.0 / len(words) for w in words}, self.lang.words
             )
         tlg = make_ctc_decode_graph(self.lang, grammar)
-        dec = ViterbiDecoder(
-            PackedGraph.from_fst(tlg), ctc_lut(V),
-            acoustic_scale=opts.acoustic_scale,
-        )
+        if opts.decode_beam > 0:
+            from kaldi_aslp_tpu.decoder.beam import (
+                BeamSearchDecoder,
+                CsrGraph,
+            )
+            dec = BeamSearchDecoder(
+                CsrGraph.from_packed(PackedGraph.from_fst(tlg)),
+                ctc_lut(V), acoustic_scale=opts.acoustic_scale,
+                beam=opts.decode_beam,
+                max_active=opts.decode_max_active)
+        else:
+            dec = ViterbiDecoder(
+                PackedGraph.from_fst(tlg), ctc_lut(V),
+                acoustic_scale=opts.acoustic_scale,
+            )
         # posterior priors over the training set for Eesen-style
         # prior-divided decoding
         log_priors = np.zeros(V, np.float32)

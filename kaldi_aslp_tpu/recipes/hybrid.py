@@ -70,6 +70,11 @@ class HybridRecipeOptions(Config):
     # init).  DNN only, mirrors run_cfsmn_pre.sh-style two-phase runs.
     pretrain_iters: int = 0
     pretrain_learn_rate: float = 0.008
+    # > 0: decode with the beam-pruned lattice decoder at this beam
+    # instead of the exact dense DP (mandatory once the HCLG outgrows
+    # the dense [T, S] table — the latgen-faster-mapped role proper)
+    decode_beam: float = 0.0
+    decode_max_active: int = 2048
 
 
 class HybridRecipe:
@@ -86,26 +91,39 @@ class HybridRecipe:
         test_texts: Dict[str, List[str]],
         grammar: Optional[Fst] = None,
         work_dir: str = "exp_hybrid",
+        bootstrap: Optional[tuple] = None,
     ) -> ErrorStats:
+        """``bootstrap`` (pdf_targets, num_pdfs, hclg, lut) injects
+        externally-produced alignments + decode graph — the reference
+        trains its hybrid DNN on TRIPHONE alignments and decodes over
+        the triphone HCLG (run_dnn.sh on exp/tri* ali dirs), not on its
+        own mono bootstrap."""
         opts = self.opts
-        # 1. GMM bootstrap → alignments
-        mono = MonophoneTrainer(
-            self.lang,
-            opts=MonoTrainOptions(
-                num_iters=opts.mono_iters, totgauss=opts.mono_totgauss,
-                realign_iters=" ".join(
-                    str(i) for i in range(1, opts.mono_iters)
+        hclg = lut = None
+        if bootstrap is not None:
+            pdf_targets, num_pdfs, hclg, lut = bootstrap
+            logger.info("external alignments: %d pdfs", num_pdfs)
+        else:
+            # 1. GMM bootstrap → alignments
+            mono = MonophoneTrainer(
+                self.lang,
+                opts=MonoTrainOptions(
+                    num_iters=opts.mono_iters,
+                    totgauss=opts.mono_totgauss,
+                    realign_iters=" ".join(
+                        str(i) for i in range(1, opts.mono_iters)
+                    ),
                 ),
-            ),
-        )
-        am, tm = mono.train(train_feats, train_texts)
-        alis = mono.align(am, train_feats, train_texts)
-        logger.info("GMM bootstrap done: %d pdfs", tm.num_pdfs)
+            )
+            am, tm = mono.train(train_feats, train_texts)
+            alis = mono.align(am, train_feats, train_texts)
+            logger.info("GMM bootstrap done: %d pdfs", tm.num_pdfs)
+            num_pdfs = tm.num_pdfs
+            pdf_targets = {u: tm.alignment_to_pdfs(a) for u, a in
+                           alis.items()}
 
-        # 2. targets + priors
-        pdf_targets = {u: tm.alignment_to_pdfs(a) for u, a in
-                       alis.items()}
-        prior = PdfPrior.from_alignments(pdf_targets, tm.num_pdfs)
+        # 2. priors
+        prior = PdfPrior.from_alignments(pdf_targets, num_pdfs)
 
         # 3. NN training
         dim = self._nn_feats(
@@ -130,10 +148,10 @@ class HybridRecipe:
 
         if (opts.pretrain_iters > 0 and opts.model_type == "dnn"
                 and opts.num_layers > 1):
-            net, params = self._pretrain(dim, tm.num_pdfs,
+            net, params = self._pretrain(dim, num_pdfs,
                                          batches, tr_utts)
         else:
-            net = self._build_net(dim, tm.num_pdfs)
+            net = self._build_net(dim, num_pdfs)
             params = net.init(jax.random.PRNGKey(777))
         velocity = init_velocity(params)
         trainer = FrameTrainer(
@@ -176,34 +194,51 @@ class HybridRecipe:
                 save_checkpoint(sched.best_model_path, best, velocity)
 
         # 4. decode
-        if grammar is None:
-            words = sorted({w for t in train_texts.values() for w in t})
-            grammar = make_unigram_grammar(
-                {w: 1.0 / len(words) for w in words}, self.lang.words
+        if hclg is None:
+            if grammar is None:
+                words = sorted({w for t in train_texts.values()
+                                for w in t})
+                grammar = make_unigram_grammar(
+                    {w: 1.0 / len(words) for w in words},
+                    self.lang.words
+                )
+            hclg = make_decode_graph(self.lang, grammar, tm)
+            lut = tm.alignment_to_pdfs(
+                np.arange(tm.num_transition_ids + 1)
             )
-        hclg = make_decode_graph(self.lang, grammar, tm)
-        lut = tm.alignment_to_pdfs(
-            np.arange(tm.num_transition_ids + 1)
-        )
-        dec = ViterbiDecoder(PackedGraph.from_fst(hclg), lut,
-                             acoustic_scale=opts.acoustic_scale)
         fwd_opts = NnetForwardOptions()
+        packed = PackedGraph.from_fst(hclg)
         if opts.lmwt_sweep:
             # lattice generation + LMWT grid (score_basic.sh)
             from kaldi_aslp_tpu.decoder.lattice import (
                 generate_lattice,
                 score_lmwt_sweep,
             )
-            packed = PackedGraph.from_fst(hclg)
+            from kaldi_aslp_tpu.decoder.beam import (
+                BeamSearchDecoder,
+                CsrGraph,
+            )
+            bdec = None
+            if opts.decode_beam > 0:
+                bdec = BeamSearchDecoder(
+                    CsrGraph.from_packed(packed), lut,
+                    acoustic_scale=opts.acoustic_scale,
+                    beam=opts.decode_beam,
+                    max_active=opts.decode_max_active)
             lats, refs = {}, {}
             for u, feats in test_feats.items():
                 scores = nnet_forward(net, best, self._nn_feats(feats),
                                       fwd_opts, prior)
-                lats[u] = generate_lattice(
-                    packed, scores, lut,
-                    acoustic_scale=opts.acoustic_scale,
-                    beam=opts.lattice_beam,
-                )
+                if bdec is not None:
+                    _, _, _, lats[u] = bdec.decode_lattice(
+                        jnp.asarray(scores),
+                        lattice_beam=opts.lattice_beam)
+                else:
+                    lats[u] = generate_lattice(
+                        packed, scores, lut,
+                        acoustic_scale=opts.acoustic_scale,
+                        beam=opts.lattice_beam,
+                    )
                 refs[u] = [self.lang.words.id(w)
                            for w in test_texts[u]]
             sweep = score_lmwt_sweep(
@@ -216,6 +251,19 @@ class HybridRecipe:
             stats = min(sweep.values(), key=lambda st: st.wer)
             logger.info("best: %s", stats.report())
             return stats
+        if opts.decode_beam > 0:
+            from kaldi_aslp_tpu.decoder.beam import (
+                BeamSearchDecoder,
+                CsrGraph,
+            )
+            dec = BeamSearchDecoder(
+                CsrGraph.from_packed(packed), lut,
+                acoustic_scale=opts.acoustic_scale,
+                beam=opts.decode_beam,
+                max_active=opts.decode_max_active)
+        else:
+            dec = ViterbiDecoder(packed, lut,
+                                 acoustic_scale=opts.acoustic_scale)
         hyps = {}
         for u, feats in test_feats.items():
             scores = nnet_forward(net, best, self._nn_feats(feats),
