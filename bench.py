@@ -242,6 +242,38 @@ def synth_decode_graph(num_words=30000, phones_per_word=6,
 
 
 _DECODE_STATE: dict = {}
+_DECODE5M_STATE: dict = {}
+
+
+def bench_decode_rtf_5m():
+    """Best-path beam decode RTF on a ≥5M-state / ≥10M-arc word-loop
+    HCLG (the egs/librispeech graph scale: ~200k-word vocabulary).
+    Memory budget, device-resident: em_pack [10.1M,3] + ep_pack
+    [0.28M,2] int32 ≈ 124 MB, row tables 2×[5.04M,2] int32 ≈ 81 MB,
+    backpointer planes [Tp, 2, K] ×2 int32 ≈ 100 MB at T=6000 — ~305 MB
+    HBM total, frontier K=2048 / arc budget unchanged from the 540k
+    graph (per-frame cost is budget-bound, not graph-bound)."""
+    from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
+
+    if not _DECODE5M_STATE:
+        g, lut, num_pdfs = synth_decode_graph(num_words=280_000)
+        assert g.num_states >= 5_000_000 and len(g.src) >= 10_000_000
+        dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                                acoustic_scale=1.0, beam=14.0,
+                                max_active=2048, chunk=128)
+        rng = np.random.RandomState(2)
+        T = 6000
+        ll = rng.uniform(-12.0, -10.0,
+                         size=(T, num_pdfs)).astype(np.float32)
+        ll[np.arange(T), rng.randint(0, num_pdfs, T)] = -0.5
+        import jax.numpy as jnp
+        _DECODE5M_STATE.update(dec=dec, ll=jnp.asarray(ll), T=T)
+    dec, ll_dev, T = (_DECODE5M_STATE["dec"], _DECODE5M_STATE["ll"],
+                      _DECODE5M_STATE["T"])
+    dec.decode(ll_dev)     # warmup at the real shape (compile)
+    t0 = time.perf_counter()
+    dec.decode(ll_dev)
+    return (time.perf_counter() - t0) / (T * FRAME_SHIFT_S)
 
 
 def bench_decode_rtf(lattice: bool):
@@ -323,6 +355,14 @@ def main():
         lat_rtf = None
     finally:
         signal.alarm(0)
+    rtf_5m = None
+    try:
+        signal.alarm(1500)
+        rtf_5m = bench_decode_rtf_5m()
+    except Exception:
+        rtf_5m = None
+    finally:
+        signal.alarm(0)
     out = {
         "metric": "audio-seconds/s/chip (BLSTM-CTC train)",
         "value": round(throughput, 2),
@@ -346,6 +386,8 @@ def main():
         out["decode_rtf_500k_state_graph"] = round(rtf, 4)
     if lat_rtf is not None:
         out["lattice_rtf_500k_state_graph"] = round(lat_rtf, 4)
+    if rtf_5m is not None:
+        out["decode_rtf_5m_state_graph"] = round(rtf_5m, 4)
     print(json.dumps(out))
 
 

@@ -201,3 +201,70 @@ def test_native_compose_on_real_lg():
     nat = native.fst_compose(L, G)
     ref = L._compose_py(G)
     assert nat.to_text() == ref.to_text()
+
+
+def test_native_compose_csr_matches_object_boundary():
+    """fst_compose_csr (the array-native boundary used by real-scale
+    graph builds) == fst_compose on random machines; same C++ core, so
+    this locks the CSR marshalling (reference role:
+    src/fstext/table-matcher.h fsttablecompose, at the scale of
+    egs/librispeech mkgraph.sh outputs)."""
+    from kaldi_aslp_tpu.fst.fst import Arc, Fst
+    from kaldi_aslp_tpu import native
+
+    def rand_fst(rng, S, n_arcs, max_lab, eps_frac=0.3):
+        f = Fst()
+        for _ in range(S):
+            f.add_state()
+        f.set_start(0)
+        for _ in range(n_arcs):
+            s, d = rng.randint(S), rng.randint(S)
+            il = 0 if rng.rand() < eps_frac else 1 + rng.randint(max_lab)
+            ol = 0 if rng.rand() < eps_frac else 1 + rng.randint(max_lab)
+            f.add_arc(s, Arc(il, ol, round(float(rng.rand()), 3), d))
+        for s in range(S):
+            if rng.rand() < 0.3:
+                f.set_final(s, round(float(rng.rand()), 3))
+        return f
+
+    def to_csr(f, sort_by_il):
+        S = f.num_states
+        row = np.zeros(S + 1, np.int32)
+        il, ol, w, dst = [], [], [], []
+        for s, arcs in enumerate(f.arcs):
+            if sort_by_il:
+                arcs = sorted(arcs, key=lambda a: a.ilabel)
+            row[s + 1] = row[s] + len(arcs)
+            for a in arcs:
+                il.append(a.ilabel)
+                ol.append(a.olabel)
+                w.append(a.weight)
+                dst.append(a.nextstate)
+        fin = np.full(S, np.inf, np.float32)
+        for s, c in f.finals.items():
+            fin[s] = c
+        return (row, np.asarray(il, np.int32), np.asarray(ol, np.int32),
+                np.asarray(w, np.float32), np.asarray(dst, np.int32), fin)
+
+    rng = np.random.RandomState(7)
+    for trial in range(8):
+        a = rand_fst(rng, 5 + trial, 24, 4)
+        b = rand_fst(rng, 4 + trial, 20, 4)
+        ref = native.fst_compose(a, b)
+        b.arc_sort("ilabel")
+        out = native.fst_compose_csr(to_csr(a, False), a.start,
+                                     to_csr(b, True), b.start)
+        assert out is not None
+        src, il, ol, w, dst, fin, start = out
+        g = Fst()
+        for _ in range(len(fin)):
+            g.add_state()
+        if start >= 0:
+            g.set_start(int(start))
+        for i in range(len(src)):
+            g.add_arc(int(src[i]),
+                      Arc(int(il[i]), int(ol[i]), float(w[i]),
+                          int(dst[i])))
+        for s in np.nonzero(np.isfinite(fin))[0]:
+            g.set_final(int(s), float(fin[s]))
+        assert g.to_text() == ref.to_text(), f"trial {trial}"
