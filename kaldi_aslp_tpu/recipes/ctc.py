@@ -64,6 +64,14 @@ class CtcRecipeOptions(Config):
     # [T, S] table)
     decode_beam: float = 0.0
     decode_max_active: int = 2048
+    # low frame rate: take every k-th frame in training AND decode
+    # (reference: the --skip-width of aslp-nnet-train-ctc-streams;
+    # fewer frames per label makes the CTC alignment tractable and cuts
+    # compute 1/k)
+    lfr_skip: int = 1
+    # batch shape bucketing (one compiled program per bucket)
+    bucket_time: int = 64
+    bucket_labels: int = 16
 
 
 class CtcRecipe:
@@ -116,7 +124,10 @@ class CtcRecipe:
                     self.phone_labels(train_texts[u]))
                    for u in utt_list)
             return list(CtcBatcher(
-                src, CtcBatcherOptions(num_streams=opts.num_streams)
+                src, CtcBatcherOptions(num_streams=opts.num_streams,
+                                       skip_width=opts.lfr_skip,
+                                       bucket_time=opts.bucket_time,
+                                       bucket_labels=opts.bucket_labels)
             ))
 
         tr_batches = batches(tr_utts)
@@ -157,24 +168,60 @@ class CtcRecipe:
                 PackedGraph.from_fst(tlg), ctc_lut(V),
                 acoustic_scale=opts.acoustic_scale,
             )
+        # padded single-shape forward (per-utterance ragged T would
+        # recompile for every new length)
+        bt = opts.bucket_time
+
+        @jax.jit
+        def _forward(p, feats, mask):
+            y, _ = net.apply(p, feats, mask=mask)
+            return jax.nn.log_softmax(y, axis=-1)
+
+        def posteriors(feats: np.ndarray) -> np.ndarray:
+            feats = feats[:: opts.lfr_skip]
+            T = len(feats)
+            Tp = ((T + bt - 1) // bt) * bt
+            f = np.pad(feats, ((0, Tp - T), (0, 0)))[None]
+            m = np.zeros((1, Tp), np.float32)
+            m[0, :T] = 1.0
+            y = _forward(best, jnp.asarray(f), jnp.asarray(m))
+            return np.asarray(y[0][:T])
+
         # posterior priors over the training set for Eesen-style
         # prior-divided decoding
         log_priors = np.zeros(V, np.float32)
         if opts.prior_scale > 0:
             acc = np.zeros(V, np.float64)
             n = 0
-            for u in sorted(train_feats):
-                y, _ = net.apply(best, jnp.asarray(
-                    train_feats[u][None, ...]))
-                acc += np.asarray(jax.nn.softmax(y[0], -1)).sum(0)
-                n += len(train_feats[u])
+            for u in sorted(train_feats)[:200]:
+                p = np.exp(posteriors(train_feats[u]))
+                acc += p.sum(0)
+                n += len(p)
             log_priors = (opts.prior_scale * np.log(
                 np.maximum(acc / n, 1e-10))).astype(np.float32)
-        hyps = {}
+
+        # greedy CTC phone error rate first: a model-quality signal
+        # independent of the decode graph / pruning / LM (the
+        # aslp-nnet-forward + best-path-collapse sanity check)
+        hyp_ph, ref_ph = {}, {}
+        test_logp = {}
         for u, feats in test_feats.items():
-            y, _ = net.apply(best, jnp.asarray(feats[None, ...]))
-            logp = np.asarray(jax.nn.log_softmax(y[0], axis=-1))
-            logp = logp - log_priors
+            logp = posteriors(feats)
+            test_logp[u] = logp
+            ids = logp.argmax(-1)
+            col = [int(x) for x in ids]
+            dedup = [x for i, x in enumerate(col)
+                     if x != 0 and (i == 0 or x != col[i - 1])]
+            hyp_ph[u] = [str(x) for x in dedup]
+            ref_ph[u] = [str(x) for x in
+                         self.phone_labels(test_texts[u])]
+        per = score_utterances(ref_ph, hyp_ph)
+        self.greedy_per = per.wer
+        logger.info("greedy CTC PER %.2f%%", per.wer)
+
+        hyps = {}
+        for u in sorted(test_feats):
+            logp = test_logp[u] - log_priors
             words_out, _, _ = dec.decode(logp)
             hyps[u] = [self.lang.words.sym(w) for w in words_out]
         stats = score_utterances(test_texts, hyps)

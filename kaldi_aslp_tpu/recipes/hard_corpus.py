@@ -244,9 +244,13 @@ def extract_mfcc_deltas_cmvn(
 ) -> Dict[str, np.ndarray]:
     """MFCC + deltas + PER-SPEAKER CMVN (make_mfcc.sh + add-deltas +
     compute_cmvn_stats.sh --per-speaker; per-speaker normalization is
-    what makes the warped clusters learnable at all)."""
-    import jax.numpy as jnp
+    what makes the warped clusters learnable at all).
 
+    The MFCC runs through the bucketed batch extractor (one device
+    program per length bucket, feats/batch.py); deltas and CMVN are
+    tiny linear ops computed in numpy on host — per-utterance jit at
+    ragged frame counts would recompile for every new length (this
+    exact shape of build took ~4 s/utterance before the change)."""
     from kaldi_aslp_tpu.feats import (
         DeltaFeaturesOptions,
         FrameExtractionOptions,
@@ -254,24 +258,46 @@ def extract_mfcc_deltas_cmvn(
         Mfcc,
         MfccOptions,
         acc_cmvn_stats,
-        add_deltas,
-        apply_cmvn,
     )
+    from kaldi_aslp_tpu.feats.batch import compute_batched
+    from kaldi_aslp_tpu.feats.functions import delta_scales
 
     mfcc = Mfcc(FrameExtractionOptions(samp_freq=SAMP_FREQ, dither=0.0),
                 MelBanksOptions(num_bins=23), MfccOptions())
-    raw: Dict[str, np.ndarray] = {}
+    base = compute_batched(mfcc, waves)
+
+    scales = delta_scales(DeltaFeaturesOptions())
+
+    def deltas(f: np.ndarray) -> np.ndarray:
+        T = len(f)
+        outs = []
+        for scale in scales:
+            off = (len(scale) - 1) // 2
+            acc = np.zeros_like(f)
+            for j, w in enumerate(scale):
+                if w != 0.0:
+                    acc += w * f[np.clip(np.arange(T) + j - off,
+                                         0, T - 1)]
+            outs.append(acc)
+        return np.concatenate(outs, axis=-1)
+
+    raw = {u: deltas(np.asarray(f, np.float32)) for u, f in base.items()}
     stats: Dict[str, np.ndarray] = {}
-    for u in sorted(waves):
-        f = np.asarray(add_deltas(mfcc(waves[u]), DeltaFeaturesOptions()))
-        raw[u] = f
+    for u in sorted(raw):
         spk = utt2spk[u]
-        stats[spk] = acc_cmvn_stats(f, stats.get(spk))
-    return {
-        u: np.asarray(apply_cmvn(jnp.asarray(f), stats[utt2spk[u]],
-                                 norm_vars=norm_vars))
-        for u, f in raw.items()
-    }
+        stats[spk] = acc_cmvn_stats(raw[u], stats.get(spk))
+    out: Dict[str, np.ndarray] = {}
+    for u, f in raw.items():
+        st = stats[utt2spk[u]]
+        dim = f.shape[1]
+        mean = (st[0, :dim] / st[0, dim]).astype(np.float32)
+        g = f - mean
+        if norm_vars:
+            var = st[1, :dim] / st[0, dim] - (st[0, :dim] / st[0, dim]) ** 2
+            g = g * (1.0 / np.sqrt(np.maximum(var, 1e-20))).astype(
+                np.float32)
+        out[u] = g.astype(np.float32)
+    return out
 
 
 def pruned_bigram_arpa(sents: List[List[str]], words: List[str],

@@ -66,7 +66,7 @@ class _Scale:
                 num_iters=8, totgauss=900, num_leaves=120,
                 realign_iters="2 4 6", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 128, 2, 8
-            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 64, 2, 10
+            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 96, 2, 220
         elif name == "medium":
             self.corpus = HardCorpusOptions(
                 num_words=1000, num_train_speakers=24,
@@ -79,7 +79,7 @@ class _Scale:
                 num_iters=10, totgauss=2500, num_leaves=250,
                 realign_iters="2 4 6 8", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 256, 3, 12
-            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 160, 3, 14
+            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 160, 3, 45
         else:                   # full
             self.corpus = HardCorpusOptions(
                 num_words=5000, num_train_speakers=32,
@@ -92,7 +92,7 @@ class _Scale:
                 num_iters=12, totgauss=4000, num_leaves=400,
                 realign_iters="2 4 6 8 10", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 512, 4, 14
-            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 320, 3, 16
+            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 320, 3, 45
 
 
 def run(root: str = "exp_hard", scale: str = "full",
@@ -187,18 +187,30 @@ def run(root: str = "exp_hard", scale: str = "full",
     if "ctc" in stages:
         from kaldi_aslp_tpu.recipes.ctc import CtcRecipe, \
             CtcRecipeOptions
+        # CTC spends ~700-1100 SGD steps on the blank-collapse saddle
+        # before label peaks emerge (measured: an 8-utt overfit probe
+        # sits at 0 greedy phones for ~700 steps, then reaches 29/29 by
+        # step 1100).  The schedule therefore holds the lr flat
+        # (keep_lr_iters) long enough to cross the saddle — newbob's
+        # default halving terminates mid-saddle at an all-blank model
+        # (the round-3 97%-deletion probe).  Low frame rate (lfr 3)
+        # shortens the alignment lattice the same way the reference's
+        # --skip-width does.
         ctc = CtcRecipe(lang, CtcRecipeOptions(
             model_type="blstm", hidden_dim=sc.ctc_hidden,
-            num_layers=sc.ctc_layers, learn_rate=0.01,
+            num_layers=sc.ctc_layers, learn_rate=0.06,
+            keep_lr_iters=sc.ctc_iters - 8, lfr_skip=3,
             max_iters=sc.ctc_iters, num_streams=16,
             acoustic_scale=0.9, decode_beam=16.0))
+        if ctc.opts.max_iters <= 8:
+            ctc.opts.keep_lr_iters = 0
         st = ctc.run(train_feats, train_texts, test_feats,
                      corpus["test_texts"], grammar=G,
                      work_dir=os.path.join(root, "ctc"))
         results["ctc"] = st.wer
-        logger.info("blstm-ctc WER %.2f (reference role: "
-                    "aslp_scripts/ctc + egs/hkust DNN<LSTM ordering)",
-                    st.wer)
+        logger.info("blstm-ctc WER %.2f greedy-PER %.2f (reference "
+                    "role: aslp_scripts/ctc + egs/hkust DNN<LSTM "
+                    "ordering)", st.wer, ctc.greedy_per)
 
     logger.info("==== WER ladder (hard synthetic corpus, scale=%s) ====",
                 scale)
