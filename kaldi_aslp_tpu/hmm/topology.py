@@ -103,6 +103,26 @@ class HmmTopology:
         return topo
 
     @classmethod
+    def fake_min_duration(cls, phones: Sequence[int],
+                          min_frames: int = 3,
+                          self_jump: float = 0.5) -> "HmmTopology":
+        """Single-pdf topo whose unit must persist >= ``min_frames``
+        frames: a chain of emitting states all sharing pdf-class 0,
+        only the last of which self-loops (reference:
+        src/aslp-bin/aslp-make-h3-transducer.cc GetHmmAsFst3 — "one hmm
+        state continues at least 3 frames" — driven by
+        aslp_scripts/cd_phone/make_h3_graph.sh)."""
+        topo = cls()
+        for ph in phones:
+            states = [HmmState(0, [(i + 1, 1.0)])
+                      for i in range(min_frames - 1)]
+            states.append(HmmState(0, [(min_frames - 1, self_jump),
+                                       (min_frames, 1.0 - self_jump)]))
+            states.append(HmmState(-1, []))
+            topo.entries[ph] = TopologyEntry(states)
+        return topo
+
+    @classmethod
     def fake_cd_phone(cls, phones: Sequence[int],
                       num_states: int = 2) -> "HmmTopology":
         """N-state self-loop topo for CD-phone targets (reference:

@@ -165,19 +165,36 @@ class SentenceModel:
         return out
 
 
+def default_phone_params() -> Dict[str, Tuple[float, float, float,
+                                              float]]:
+    """The clustered 40-phone inventory as a generic phone-parameter
+    table: phone → (F1, F2, frication 0..1, f0 multiplier)."""
+    out = {}
+    for pid, name in enumerate(PHONES):
+        f1, f2 = phone_formants(pid)
+        out[name] = (f1, f2, 0.35 if pid % 3 == 0 else 0.05, 1.0)
+    return out
+
+
 def synthesize_utt(pron_seq: List[List[str]], spk: Speaker,
-                   snr_db: float, rng: np.random.RandomState
+                   snr_db: float, rng: np.random.RandomState,
+                   phone_params: Optional[Dict[str, Tuple]] = None,
                    ) -> np.ndarray:
     """One utterance: formant synthesis with coarticulation glides,
-    speaker warp/rate/channel, then additive noise at ``snr_db``."""
+    speaker warp/rate/channel, then additive noise at ``snr_db``.
+
+    ``phone_params`` maps phone → (F1, F2, frication, f0 multiplier);
+    None uses the clustered 40-phone inventory.  The f0 multiplier is
+    what makes tonal inventories (recipes/hkust_synth.py) separable:
+    tone is carried by pitch, not formants, exactly the cue a Mandarin
+    corpus provides."""
+    params = phone_params or default_phone_params()
     chunks = [np.zeros(int(0.1 * SAMP_FREQ))]
     for phones in pron_seq:
-        pids = [PHONES.index(p) for p in phones]
-        for j, pid in enumerate(pids):
-            f1, f2 = phone_formants(pid)
-            prev = phone_formants(pids[j - 1]) if j > 0 else (f1, f2)
-            nxt = (phone_formants(pids[j + 1])
-                   if j + 1 < len(pids) else (f1, f2))
+        rows = [params[p] for p in phones]
+        for j, (f1, f2, fric, f0m) in enumerate(rows):
+            prev = rows[j - 1][:2] if j > 0 else (f1, f2)
+            nxt = rows[j + 1][:2] if j + 1 < len(rows) else (f1, f2)
             dur = (0.045 + 0.05 * rng.rand()) * spk.rate
             n = max(int(dur * SAMP_FREQ), 8)
             u = np.linspace(0.0, 1.0, n)
@@ -188,13 +205,10 @@ def synthesize_utt(pron_seq: List[List[str]], spk: Speaker,
             g2 = (f2 * (1 - lam_in - lam_out) + prev[1] * lam_in
                   + nxt[1] * lam_out) * spk.warp
             ph0 = 2 * np.pi * np.cumsum(
-                np.full(n, spk.f0)) / SAMP_FREQ
+                np.full(n, spk.f0 * f0m)) / SAMP_FREQ
             ph1 = 2 * np.pi * np.cumsum(g1) / SAMP_FREQ
             ph2 = 2 * np.pi * np.cumsum(g2) / SAMP_FREQ
             env = np.hanning(n) ** 0.5
-            # every 3rd phone carries a frication-like noise band,
-            # modulated by the same envelope
-            fric = 0.35 if pid % 3 == 0 else 0.05
             sig = env * spk.gain * (
                 800 * np.sin(ph0)
                 + 2600 * (1 - fric) * np.sin(ph1)
@@ -221,6 +235,7 @@ def synthesize_set(
     opts: HardCorpusOptions,
     seed: int,
     prefix: str = "utt",
+    phone_params: Optional[Dict[str, Tuple]] = None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, str]]:
     """Returns (waves, utt2spk); utterances round-robin over speakers
     with per-utterance swept SNR."""
@@ -232,7 +247,8 @@ def synthesize_set(
         key = f"{prefix}{i:05d}"
         snr = float(rng.uniform(opts.snr_lo_db, opts.snr_hi_db))
         pron_seq = [lex_prons[w][0] for w in sent]
-        waves[key] = synthesize_utt(pron_seq, speakers[si], snr, rng)
+        waves[key] = synthesize_utt(pron_seq, speakers[si], snr, rng,
+                                    phone_params=phone_params)
         utt2spk[key] = f"{prefix}spk{si:03d}"
     return waves, utt2spk
 
@@ -341,13 +357,20 @@ def pruned_bigram_arpa(sents: List[List[str]], words: List[str],
 
 def build_corpus(opts: Optional[HardCorpusOptions] = None,
                  num_train: int = 1600, num_test: int = 200,
-                 lm_pool_mult: int = 12):
+                 lm_pool_mult: int = 12,
+                 lexicon_text: Optional[str] = None,
+                 phone_params: Optional[Dict[str, Tuple]] = None):
     """Full corpus build.  Returns a dict with lexicon text, Lang,
-    train/test feats + texts + utt2spk, and the held-out-pool ARPA."""
+    train/test feats + texts + utt2spk, and the held-out-pool ARPA.
+
+    ``lexicon_text``/``phone_params`` swap in a custom phone inventory
+    (recipes/hkust_synth.py's tonal pinyin-like phones) while keeping
+    the speaker/noise/LM protocol identical."""
     from kaldi_aslp_tpu.fst import Lang, Lexicon
 
     opts = opts or HardCorpusOptions()
-    lex_text = make_lexicon(opts)
+    lex_text = lexicon_text if lexicon_text is not None \
+        else make_lexicon(opts)
     lex = Lexicon.from_text(lex_text)
     lang = Lang.build(lex)
     words = sorted(w for w in lex.prons if w != "<SIL>")
@@ -364,10 +387,10 @@ def build_corpus(opts: Optional[HardCorpusOptions] = None,
 
     train_waves, train_u2s = synthesize_set(
         lex.prons, train_sents, train_spk, opts, seed=opts.seed + 30,
-        prefix="tr")
+        prefix="tr", phone_params=phone_params)
     test_waves, test_u2s = synthesize_set(
         lex.prons, test_sents, test_spk, opts, seed=opts.seed + 40,
-        prefix="te")
+        prefix="te", phone_params=phone_params)
 
     train_feats = extract_mfcc_deltas_cmvn(train_waves, train_u2s)
     test_feats = extract_mfcc_deltas_cmvn(test_waves, test_u2s)
