@@ -439,27 +439,49 @@ class _Bidirectional(Component):
                 is not None)
 
     def _apply_fused(self, params, x, state, mask):
-        from kaldi_aslp_tpu.ops.lstm_pallas import bilstmp_train_core
+        import os
+
+        from kaldi_aslp_tpu.ops.lstm_pallas import (
+            bilstmp_train_core,
+            bilstmp_xfused_train_core,
+        )
 
         pf, pb = params["fwd"], params["bwd"]
         dt = self.fwd.compute_dtype
-        # bias is added inside the kernel; bf16 xg keeps the whole
-        # activation stream (cotangents included) at half width
-        xgf = _einsum_stg(x, pf["w_gifo_x"], dt).astype(jnp.bfloat16)
-        xgb = _einsum_stg(x, pb["w_gifo_x"], dt).astype(jnp.bfloat16)
         peep_f = jnp.stack([pf["peephole_i_c"], pf["peephole_f_c"],
                             pf["peephole_o_c"]])
         peep_b = jnp.stack([pb["peephole_i_c"], pb["peephole_f_c"],
                             pb["peephole_o_c"]])
-        import os
         mxu_bf16 = not os.environ.get("KALDI_ASLP_LSTM_MXU_FP32")
+        interpret = jax.default_backend() == "cpu"
+        # x-fused core (input projection in-kernel, weight grads
+        # accumulated in VMEM — no [T,S,4C] xg/dxg HBM streams) when
+        # the input is lane-aligned; the first layer of a typical
+        # stack (feature dim 40-120) stays on the xg path, where the
+        # input einsum is a few % of the layer's FLOPs
+        if (x.shape[-1] % 128 == 0 and mxu_bf16
+                and not os.environ.get("KALDI_ASLP_LSTM_NO_XFUSE")):
+            ysf, ysb, fc, fr = bilstmp_xfused_train_core(
+                x, mask, pf["w_gifo_x"], pb["w_gifo_x"],
+                pf["w_gifo_r"], pf["w_r_m"], peep_f,
+                pb["w_gifo_r"], pb["w_r_m"], peep_b,
+                pf["bias"], pb["bias"],
+                state["fwd"]["c"], state["fwd"]["r"],
+                cell_clip=self.fwd.cell_clip, interpret=interpret,
+            )
+            return (jnp.concatenate([ysf, ysb], axis=-1),
+                    {"fwd": {"c": fc, "r": fr}})
+        # bias is added inside the kernel; bf16 xg keeps the whole
+        # activation stream (cotangents included) at half width
+        xgf = _einsum_stg(x, pf["w_gifo_x"], dt).astype(jnp.bfloat16)
+        xgb = _einsum_stg(x, pb["w_gifo_x"], dt).astype(jnp.bfloat16)
         ysf, ysb, fc, fr = bilstmp_train_core(
             xgf, xgb, mask, pf["w_gifo_r"], pf["w_r_m"], peep_f,
             pb["w_gifo_r"], pb["w_r_m"], peep_b,
             pf["bias"], pb["bias"],
             state["fwd"]["c"], state["fwd"]["r"],
             cell_clip=self.fwd.cell_clip,
-            interpret=jax.default_backend() == "cpu",
+            interpret=interpret,
             store_bf16=True, mxu_bf16=mxu_bf16,
         )
         return (jnp.concatenate([ysf, ysb], axis=-1),

@@ -994,3 +994,424 @@ def bilstmp_train_core(xgf, xgb, mask, wf_gifo_r, wf_r_m, peep_f,
     if pad:
         ysf, ysb, fc, fr = ysf[:S], ysb[:S], fc[:S], fr[:S]
     return ysf, ysb, fc, fr
+
+
+# ---------------------------------------------------------------------------
+# x-fused bidirectional core: the input projection inside the kernel
+# ---------------------------------------------------------------------------
+#
+# The xg-fed core above leaves three [T, S, 4C] HBM streams on the
+# table: xg written+read around the forward kernel, and dxg written by
+# the backward kernel then re-read by the dwx and dx einsums.  At the
+# flagship shape (S=128, T=400, C=512, D=640) that is ~1.5 ms/layer of
+# pure gate-width traffic (measured round 2; the round-2 verdict's MFU
+# item).  This variant streams x itself (D lanes instead of 4C) and
+# keeps w_gifo_x in VMEM:
+#
+#   forward  — one fused kernel, both directions: gates = bias +
+#              x @ w_x + r_prev @ w_r computed in-kernel; xg never
+#              exists in HBM.
+#   backward — one kernel PER DIRECTION (the f32 [D, 4C] dwx
+#              accumulator + bf16 weights of a single direction fit
+#              VMEM; two directions' would not): consumes dy/gates/
+#              cs/rs/x streams, emits ONLY dx — dwx, dwr, dwrm, dbias,
+#              dpeep all accumulate in VMEM scratch across the whole
+#              grid, so no [T, S, 4C] cotangent stream and no
+#              [T, S, P/C] ms/drn streams exist at all.
+#
+# Weights ride at rest in bf16 (identical numerics to the mxu_bf16
+# cast-per-step path, half the VMEM).  Usable when D is lane-aligned
+# (D % 128 == 0); layer 1 of the flagship (D = 40) stays on the xg
+# path, where the input einsum is 6% of the layer's FLOPs anyway.
+
+
+def _bixfused_fwd_kernel(cell_clip: float,
+                         xf_ref, xb_ref, mf_ref, mb_ref,
+                         w_x2_ref, w_r2_ref, w_rm2_ref,
+                         peep2_ref, bias2_ref,
+                         init_c_ref, init_r_ref,
+                         gf_ref, gb_ref, csf_ref, csb_ref,
+                         rsf_ref, rsb_ref, fc_ref, fr_ref,
+                         cf_scr, rf_scr, cb_scr, rb_scr):
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        cf_scr[:] = init_c_ref[:]
+        rf_scr[:] = init_r_ref[:]
+        cb_scr[:] = jnp.zeros_like(cb_scr)
+        rb_scr[:] = jnp.zeros_like(rb_scr)
+
+    C = cf_scr.shape[1]
+
+    def step(x, mask_t, c_prev, r_prev, d):
+        gates = bias2_ref[d] \
+            + _mm_k(x, w_x2_ref[d], True) \
+            + _mm_k(r_prev, w_r2_ref[d], True)
+        gt = jnp.tanh(gates[:, :C])
+        i = jax.nn.sigmoid(gates[:, C:2 * C] + peep2_ref[d, 0] * c_prev)
+        f = jax.nn.sigmoid(gates[:, 2 * C:3 * C]
+                           + peep2_ref[d, 1] * c_prev)
+        c = f * c_prev + i * gt
+        if cell_clip > 0:
+            c = jnp.clip(c, -cell_clip, cell_clip)
+        o = jax.nn.sigmoid(gates[:, 3 * C:] + peep2_ref[d, 2] * c)
+        m = o * jnp.tanh(c)
+        r = _mm_k(m, w_rm2_ref[d], True)
+        c_new = mask_t * c + (1.0 - mask_t) * c_prev
+        r_new = mask_t * r + (1.0 - mask_t) * r_prev
+        return jnp.concatenate([gt, i, f, o], axis=1), c_new, r_new
+
+    mf = mf_ref[0][:, 0:1]
+    mb = mb_ref[0][:, 0:1]
+    gatesf, cf, rf = step(xf_ref[0], mf, cf_scr[:], rf_scr[:], 0)
+    gatesb, cb, rb = step(xb_ref[0], mb, cb_scr[:], rb_scr[:], 1)
+    cf_scr[:] = cf
+    rf_scr[:] = rf
+    cb_scr[:] = cb
+    rb_scr[:] = rb
+    gf_ref[0] = gatesf.astype(gf_ref.dtype)
+    gb_ref[0] = gatesb.astype(gb_ref.dtype)
+    csf_ref[0] = cf.astype(csf_ref.dtype)
+    csb_ref[0] = cb.astype(csb_ref.dtype)
+    rsf_ref[0] = rf.astype(rsf_ref.dtype)
+    rsb_ref[0] = rb.astype(rsb_ref.dtype)
+
+    @pl.when(t == T - 1)
+    def _():
+        fc_ref[:] = cf_scr[:]
+        fr_ref[:] = rf_scr[:]
+
+
+def _xfused_bwd_kernel(cell_clip: float, is_fwd_dir: bool,
+                       dy_ref, m_ref, g_ref, cp_ref, rp_ref, x_ref,
+                       ic_ref, ir_ref,
+                       w_x_ref, w_r_ref, w_rm_ref, peep_ref,
+                       dfc_ref, dfr_ref,
+                       dx_ref, dic_ref, dir_ref,
+                       dwx_out, dwr_out, dwrm_out, dbias_out, dpeep_out,
+                       dc_scr, dr_scr, dwx_scr, dwr_scr, dwrm_scr,
+                       dbias_scr, dpeep_scr):
+    """One direction's reverse sweep.  Block index maps present frames
+    in reverse processing order (direction f walks T-1→0, direction b
+    walks 0→T-1); cp/rp read the PREVIOUS-in-processing-order state
+    block, with the true initial state substituted at the boundary
+    (init_c/init_r for direction f, zeros for direction b)."""
+    sb = pl.program_id(0)
+    p = pl.program_id(1)
+    nS = pl.num_programs(0)
+    T = pl.num_programs(1)
+
+    @pl.when((sb == 0) & (p == 0))
+    def _():
+        dwx_scr[:] = jnp.zeros_like(dwx_scr)
+        dwr_scr[:] = jnp.zeros_like(dwr_scr)
+        dwrm_scr[:] = jnp.zeros_like(dwrm_scr)
+        dbias_scr[:] = jnp.zeros_like(dbias_scr)
+        dpeep_scr[:] = jnp.zeros_like(dpeep_scr)
+
+    @pl.when(p == 0)
+    def _():
+        dc_scr[:] = dfc_ref[:]
+        dr_scr[:] = dfr_ref[:]
+
+    C = dc_scr.shape[1]
+    mask_t = m_ref[0][:, 0:1]
+    at_boundary = p == T - 1
+    if is_fwd_dir:
+        c_prev = jnp.where(at_boundary, ic_ref[:].astype(jnp.float32),
+                           cp_ref[0].astype(jnp.float32))
+        r_prev = jnp.where(at_boundary, ir_ref[:].astype(jnp.float32),
+                           rp_ref[0].astype(jnp.float32))
+    else:
+        c_prev = jnp.where(at_boundary, 0.0,
+                           cp_ref[0].astype(jnp.float32))
+        r_prev = jnp.where(at_boundary, 0.0,
+                           rp_ref[0].astype(jnp.float32))
+
+    gates = g_ref[0].astype(jnp.float32)
+    gt = gates[:, :C]
+    i = gates[:, C:2 * C]
+    f = gates[:, 2 * C:3 * C]
+    o = gates[:, 3 * C:]
+    cu = f * c_prev + i * gt
+    c = jnp.clip(cu, -cell_clip, cell_clip) if cell_clip > 0 else cu
+    tanh_c = jnp.tanh(c)
+    m = o * tanh_c
+    dR_after = dy_ref[0].astype(jnp.float32) * mask_t + dr_scr[:]
+    dr_new = mask_t * dR_after
+    dr_prev = (1.0 - mask_t) * dR_after
+    dc_new = mask_t * dc_scr[:]
+    dc_prev_skip = (1.0 - mask_t) * dc_scr[:]
+    dm = _mm_k(dr_new, w_rm_ref[:].T, True)
+    do = dm * tanh_c
+    dc = dc_new + dm * o * (1.0 - tanh_c * tanh_c)
+    do_lin = do * o * (1.0 - o)
+    dc = dc + do_lin * peep_ref[2]
+    if cell_clip > 0:
+        dcu = dc * (jnp.abs(cu) < cell_clip).astype(jnp.float32)
+    else:
+        dcu = dc
+    di_lin = dcu * gt * i * (1.0 - i)
+    df_lin = dcu * c_prev * f * (1.0 - f)
+    dg_lin = dcu * i * (1.0 - gt * gt)
+    dc_prev = dcu * f + di_lin * peep_ref[0] \
+        + df_lin * peep_ref[1] + dc_prev_skip
+    dgates = jnp.concatenate([dg_lin, di_lin, df_lin, do_lin], axis=1)
+    dr_prev = dr_prev + _mm_k(dgates, w_r_ref[:].T, True)
+    dc_scr[:] = dc_prev
+    dr_scr[:] = dr_prev
+    x = x_ref[0]
+    dx_ref[0] = _mm_k(dgates, w_x_ref[:].T, True).astype(dx_ref.dtype)
+    # weight-gradient accumulation in VMEM: the whole point of the
+    # variant — no [T, S, 4C] dgates stream ever reaches HBM
+    dg_b = dgates.astype(jnp.bfloat16)
+    dwx_scr[:] += jnp.dot(x.astype(jnp.bfloat16).T, dg_b,
+                          preferred_element_type=jnp.float32)
+    dwr_scr[:] += jnp.dot(r_prev.astype(jnp.bfloat16).T, dg_b,
+                          preferred_element_type=jnp.float32)
+    dwrm_scr[:] += jnp.dot(m.astype(jnp.bfloat16).T,
+                           dr_new.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    dbias_scr[0, :] += jnp.sum(dgates, axis=0)
+    dpeep_scr[0, :] += jnp.sum(di_lin * c_prev, axis=0)
+    dpeep_scr[1, :] += jnp.sum(df_lin * c_prev, axis=0)
+    dpeep_scr[2, :] += jnp.sum(do_lin * c, axis=0)
+
+    @pl.when(p == T - 1)
+    def _():
+        dic_ref[:] = dc_scr[:]
+        dir_ref[:] = dr_scr[:]
+
+    @pl.when((sb == nS - 1) & (p == T - 1))
+    def _():
+        dwx_out[:] = dwx_scr[:]
+        dwr_out[:] = dwr_scr[:]
+        dwrm_out[:] = dwrm_scr[:]
+        dbias_out[:] = dbias_scr[:]
+        dpeep_out[:] = dpeep_scr[:]
+
+
+@partial(jax.jit, static_argnames=("cell_clip", "interpret"))
+def _bixfused_train_fwd(x, mask, w_x2, w_r2, w_rm2, peep2, bias2,
+                        init_c, init_r, cell_clip, interpret):
+    S, T, D = x.shape
+    G = w_x2.shape[2]
+    C = G // 4
+    P = w_r2.shape[1]
+    blk = min(S, S_BLK)
+    assert S % blk == 0
+    nS = S // blk
+    x_t = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)
+    mask_t = jnp.broadcast_to(
+        jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
+    outs = pl.pallas_call(
+        partial(_bixfused_fwd_kernel, cell_clip),
+        grid=(nS, T),
+        in_specs=[
+            _fwd_idx((blk, D)), _rev_idx((blk, D), T),
+            _fwd_idx((blk, 128)), _rev_idx((blk, 128), T),
+            _resident3((2, D, G)), _resident3((2, P, G)),
+            _resident3((2, C, P)),
+            _resident3((2, 3, C)), _resident3((2, G)),
+            _per_block((blk, C)), _per_block((blk, P)),
+        ],
+        out_specs=[
+            _fwd_idx((blk, G)), _rev_idx((blk, G), T),
+            _fwd_idx((blk, C)), _rev_idx((blk, C), T),
+            _fwd_idx((blk, P)), _rev_idx((blk, P), T),
+            _per_block((blk, C)), _per_block((blk, P)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, G), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, S, G), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, S, C), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, S, C), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, S, P), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, S, P), jnp.bfloat16),
+            jax.ShapeDtypeStruct((S, C), jnp.float32),
+            jax.ShapeDtypeStruct((S, P), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_t, x_t, mask_t, mask_t, w_x2, w_r2, w_rm2, peep2, bias2,
+      init_c, init_r)
+    return outs
+
+
+@partial(jax.jit, static_argnames=("cell_clip", "interpret",
+                                   "is_fwd_dir"))
+def _xfused_train_bwd_dir(dy, mask, gates, cs, rs, x,
+                          init_c, init_r, w_x, w_r, w_rm, peep,
+                          d_final_c, d_final_r,
+                          cell_clip, interpret, is_fwd_dir):
+    """One direction's fused backward.  All array args are device-side;
+    dy/x are [S, T, *], gates/cs/rs the [T, S, *] forward emissions."""
+    T, S, G = gates.shape
+    C = G // 4
+    P = w_r.shape[0]
+    D = w_x.shape[0]
+    blk = min(S, S_BLK)
+    nS = S // blk
+    dy_t = jnp.swapaxes(dy, 0, 1).astype(jnp.bfloat16)
+    x_t = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)
+    mask_t = jnp.broadcast_to(
+        jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
+    if is_fwd_dir:
+        step_idx = partial(_rev_idx, T=T)
+        prev_idx = partial(_rev_prev_idx, T=T)
+    else:
+        step_idx = _fwd_idx
+        prev_idx = partial(_fwd_next_idx, T=T)
+    outs = pl.pallas_call(
+        partial(_xfused_bwd_kernel, cell_clip, is_fwd_dir),
+        grid=(nS, T),
+        in_specs=[
+            step_idx((blk, P)),            # dy
+            step_idx((blk, 128)),          # mask
+            step_idx((blk, G)),            # gates
+            prev_idx((blk, C)),            # c_prev stream
+            prev_idx((blk, P)),            # r_prev stream
+            step_idx((blk, D)),            # x
+            _per_block((blk, C)),          # init_c
+            _per_block((blk, P)),          # init_r
+            _resident3((D, G)), _resident3((P, G)),
+            _resident3((C, P)), _resident3((3, C)),
+            _per_block((blk, C)), _per_block((blk, P)),
+        ],
+        out_specs=[
+            step_idx((blk, D)),            # dx
+            _per_block((blk, C)), _per_block((blk, P)),
+            _resident3((D, G)), _resident3((P, G)),
+            _resident3((C, P)), _resident3((1, G)), _resident3((3, C)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((S, C), jnp.float32),
+            jax.ShapeDtypeStruct((S, P), jnp.float32),
+            jax.ShapeDtypeStruct((D, G), jnp.float32),
+            jax.ShapeDtypeStruct((P, G), jnp.float32),
+            jax.ShapeDtypeStruct((C, P), jnp.float32),
+            jax.ShapeDtypeStruct((1, G), jnp.float32),
+            jax.ShapeDtypeStruct((3, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+            pltpu.VMEM((D, G), jnp.float32),
+            pltpu.VMEM((P, G), jnp.float32),
+            pltpu.VMEM((C, P), jnp.float32),
+            pltpu.VMEM((1, G), jnp.float32),
+            pltpu.VMEM((3, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dy_t, mask_t, gates, cs, rs, x_t, init_c, init_r,
+      w_x, w_r, w_rm, peep, d_final_c, d_final_r)
+    (dx, dic, dir_, dwx, dwr, dwrm, dbias, dpeep) = outs
+    return (jnp.swapaxes(dx, 0, 1), dic, dir_, dwx, dwr, dwrm,
+            dbias[0], dpeep)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_bixfused_core(cell_clip: float, interpret: bool):
+    """Custom-VJP x-fused bidirectional LSTMP core.
+
+    core(x [S,T,D] (any dtype, used as bf16), mask, w_x2 [2,D,4C] bf16,
+    w_r2 [2,P,4C] bf16, w_rm2 [2,C,P] bf16, peep2 [2,3,C] f32,
+    bias2 [2,4C] f32, init_c, init_r) → (ysf, ysb, final_c, final_r)."""
+
+    def _forward(x, mask, w_x2, w_r2, w_rm2, peep2, bias2,
+                 init_c, init_r):
+        (gf, gb, csf, csb, rsf, rsb, fc, fr) = _bixfused_train_fwd(
+            x, mask, w_x2, w_r2, w_rm2, peep2, bias2, init_c, init_r,
+            cell_clip, interpret)
+        mask_e = mask[:, :, None].astype(rsf.dtype)
+        ysf = jnp.swapaxes(rsf, 0, 1) * mask_e
+        ysb = jnp.swapaxes(rsb, 0, 1) * mask_e
+        res = (x, mask, gf, gb, csf, csb, rsf, rsb,
+               w_x2, w_r2, w_rm2, peep2, init_c, init_r)
+        return (ysf, ysb, fc, fr), res
+
+    @jax.custom_vjp
+    def core(x, mask, w_x2, w_r2, w_rm2, peep2, bias2, init_c, init_r):
+        out, _ = _forward(x, mask, w_x2, w_r2, w_rm2, peep2, bias2,
+                          init_c, init_r)
+        return out
+
+    def fwd(x, mask, w_x2, w_r2, w_rm2, peep2, bias2, init_c, init_r):
+        return _forward(x, mask, w_x2, w_r2, w_rm2, peep2, bias2,
+                        init_c, init_r)
+
+    def bwd(res, cots):
+        dysf, dysb, d_final_c, d_final_r = cots
+        (x, mask, gf, gb, csf, csb, rsf, rsb,
+         w_x2, w_r2, w_rm2, peep2, init_c, init_r) = res
+        S = x.shape[0]
+        zc = jnp.zeros((S, csf.shape[2]), jnp.float32)
+        zr = jnp.zeros((S, rsf.shape[2]), jnp.float32)
+        dxf, dic, dir_, dwxf, dwrf, dwrmf, dbf, dpf = \
+            _xfused_train_bwd_dir(
+                dysf, mask, gf, csf, rsf, x, init_c, init_r,
+                w_x2[0], w_r2[0], w_rm2[0], peep2[0],
+                d_final_c, d_final_r, cell_clip, interpret, True)
+        dxb, _, _, dwxb, dwrb, dwrmb, dbb, dpb = \
+            _xfused_train_bwd_dir(
+                dysb, mask, gb, csb, rsb, x, zc, zr,
+                w_x2[1], w_r2[1], w_rm2[1], peep2[1],
+                zc, zr, cell_clip, interpret, False)
+        dx = (dxf.astype(jnp.float32)
+              + dxb.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (dx, None,
+                jnp.stack([dwxf, dwxb]), jnp.stack([dwrf, dwrb]),
+                jnp.stack([dwrmf, dwrmb]),
+                jnp.stack([dpf, dpb]), jnp.stack([dbf, dbb]),
+                dic, dir_)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def bilstmp_xfused_train_core(x, mask, wf_gifo_x, wb_gifo_x,
+                              wf_gifo_r, wf_r_m, peep_f,
+                              wb_gifo_r, wb_r_m, peep_b,
+                              bias_f, bias_b, init_c, init_r,
+                              cell_clip: float = 50.0,
+                              interpret: bool = False):
+    """x-fused bidirectional LSTMP training core: streams x, computes
+    the input projection in-kernel, and accumulates ALL weight
+    gradients in VMEM (see the section comment above).  Weight layout
+    matches the reference component (w_gifo_x [4C, D], w_gifo_r
+    [4C, P], w_r_m [P, C]); requires D % 128 == 0 (lane alignment) —
+    callers fall back to bilstmp_train_core otherwise."""
+    S, T, D = x.shape
+    assert D % 128 == 0
+    blk = min(S, S_BLK)
+    pad = (-S) % blk
+    x = x.astype(jnp.bfloat16)
+    if pad:
+        def padS(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        x, mask = padS(x), padS(mask)
+        init_c, init_r = padS(init_c), padS(init_r)
+    core = _get_bixfused_core(float(cell_clip), bool(interpret))
+    bf = jnp.bfloat16
+    w_x2 = jnp.stack([jnp.swapaxes(wf_gifo_x, 0, 1),
+                      jnp.swapaxes(wb_gifo_x, 0, 1)]).astype(bf)
+    w_r2 = jnp.stack([jnp.swapaxes(wf_gifo_r, 0, 1),
+                      jnp.swapaxes(wb_gifo_r, 0, 1)]).astype(bf)
+    w_rm2 = jnp.stack([jnp.swapaxes(wf_r_m, 0, 1),
+                       jnp.swapaxes(wb_r_m, 0, 1)]).astype(bf)
+    peep2 = jnp.stack([peep_f, peep_b])
+    bias2 = jnp.stack([bias_f, bias_b])
+    ysf, ysb, fc, fr = core(x, mask, w_x2, w_r2, w_rm2, peep2, bias2,
+                            init_c, init_r)
+    if pad:
+        ysf, ysb, fc, fr = ysf[:S], ysb[:S], fc[:S], fr[:S]
+    return ysf, ysb, fc, fr

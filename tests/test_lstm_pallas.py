@@ -207,3 +207,87 @@ def test_bilstmp_fused_core_matches_generic(rng):
         a, b = np.asarray(a), np.asarray(b)
         denom = np.abs(a).max() + 1e-3
         assert np.abs(a - b).max() / denom < 6e-2, path
+
+
+def test_bilstmp_xfused_core_matches_generic(rng):
+    """The x-fused core (input projection in-kernel, ALL weight grads
+    accumulated in VMEM scratch — no xg/dxg/ms/drn HBM streams)
+    matches the generic scan path, values AND grads, through the
+    component's own weight layout.  D must be lane-aligned (128)."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu.models.recurrent import BLstmProjectedStreams
+    from kaldi_aslp_tpu.ops.lstm_pallas import bilstmp_xfused_train_core
+
+    S, T, D, C, P = 8, 10, 128, 64, 32
+    comp = BLstmProjectedStreams(D, 2 * P, cell_dim=C, pallas=False)
+    params = comp.init_params(jax.random.PRNGKey(5))
+    x = jnp.asarray(rng.randn(S, T, D).astype(np.float32))
+    mask = np.ones((S, T), np.float32)
+    mask[2, 7:] = 0
+    mask[5, 4:] = 0
+    mask = jnp.asarray(mask)
+    state = comp.init_state(S)
+    w_out = jnp.asarray(rng.randn(S, T, 2 * P).astype(np.float32))
+    wc = jnp.asarray(rng.randn(S, C).astype(np.float32))
+
+    def generic_loss(p):
+        ys, st = comp.apply(p, x, state=state, train=True, mask=mask)
+        return jnp.sum(ys * w_out) + jnp.sum(st["fwd"]["c"] * wc)
+
+    def xfused_loss(p):
+        pf, pb = p["fwd"], p["bwd"]
+        peep_f = jnp.stack([pf["peephole_i_c"], pf["peephole_f_c"],
+                            pf["peephole_o_c"]])
+        peep_b = jnp.stack([pb["peephole_i_c"], pb["peephole_f_c"],
+                            pb["peephole_o_c"]])
+        ysf, ysb, fc, fr = bilstmp_xfused_train_core(
+            x, mask, pf["w_gifo_x"], pb["w_gifo_x"],
+            pf["w_gifo_r"], pf["w_r_m"], peep_f,
+            pb["w_gifo_r"], pb["w_r_m"], peep_b,
+            pf["bias"], pb["bias"],
+            state["fwd"]["c"], state["fwd"]["r"],
+            interpret=True)
+        ys = jnp.concatenate([ysf, ysb], axis=-1).astype(jnp.float32)
+        return jnp.sum(ys * w_out) + jnp.sum(fc * wc)
+
+    l1, g1 = jax.value_and_grad(generic_loss)(params)
+    l2, g2 = jax.value_and_grad(xfused_loss)(params)
+    assert abs(float(l1) - float(l2)) / max(abs(float(l1)), 1.0) < 2e-2
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    g2f = dict(jax.tree_util.tree_leaves_with_path(g2))
+    for path, a in flat1:
+        b = g2f[path]
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-3
+        assert np.abs(a - b).max() / denom < 6e-2, path
+
+
+def test_xfused_selected_for_lane_aligned_input(rng, monkeypatch):
+    """_apply_fused routes lane-aligned inputs to the x-fused core and
+    falls back to the xg core otherwise (layer 1's feature dim)."""
+    import jax
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu.models import recurrent as rec
+    from kaldi_aslp_tpu.ops import lstm_pallas as lp
+
+    calls = []
+    orig_x = lp.bilstmp_xfused_train_core
+    orig_g = lp.bilstmp_train_core
+    monkeypatch.setattr(
+        lp, "bilstmp_xfused_train_core",
+        lambda *a, **k: calls.append("x") or orig_x(
+            *a, **{**k, "interpret": True}))
+    monkeypatch.setattr(
+        lp, "bilstmp_train_core",
+        lambda *a, **k: calls.append("g") or orig_g(
+            *a, **{**k, "interpret": True}))
+
+    for D, expect in ((128, "x"), (40, "g")):
+        comp = rec.BLstmProjectedStreams(D, 2 * 32, cell_dim=64,
+                                         pallas=True, bf16=True)
+        params = comp.init_params(jax.random.PRNGKey(1))
+        x = jnp.asarray(rng.randn(4, 6, D).astype(np.float32))
+        calls.clear()
+        comp.apply(params, x, train=True)
+        assert calls == [expect], (D, calls)
