@@ -113,6 +113,107 @@ def compute_pitch(wave: np.ndarray,
     return np.stack([pov, np.log(pitch)], axis=1).astype(np.float32)
 
 
+def _batched_pitch_program(waves: jnp.ndarray, true_lens: jnp.ndarray,
+                           opts: PitchOptions):
+    """[B, n] padded waves → [B, T_pad, 2] (pov, log-pitch), fully on
+    device: FFT cross-correlation NCCF (no [L, T, W] materialization —
+    the per-lag gather formulation is ~17 GB at B=64), lag-Viterbi as a
+    lax.scan, and the backtrace as a reverse scan, so one fetch returns
+    finished pitch for a whole bucket."""
+    sr = opts.samp_freq
+    shift = int(sr * opts.frame_shift_ms / 1000)
+    window = int(sr * opts.frame_length_ms / 1000)
+    min_lag = int(sr / opts.max_f0)
+    max_lag = int(sr / opts.min_f0)
+    lags = np.arange(min_lag, max_lag + 1)
+    n = waves.shape[1]
+    T = max(0, 1 + (n - window - max_lag) // shift)
+    starts = jnp.arange(T) * shift
+    ext = window + max_lag
+    x2 = waves[:, starts[:, None] + jnp.arange(ext)[None, :]]  # [B,T,E]
+    x1 = x2[..., :window]
+    # num[b,t,l] = sum_w x1[b,t,w] * x2[b,t,w+l]: circular correlation
+    # at N >= E never wraps for l <= max_lag
+    nfft = 1 << int(np.ceil(np.log2(ext)))
+    f1 = jnp.fft.rfft(x1, nfft)
+    f2 = jnp.fft.rfft(x2, nfft)
+    corr = jnp.fft.irfft(jnp.conj(f1) * f2, nfft)   # [B, T, nfft]
+    num = corr[..., min_lag:max_lag + 1]
+    e1 = jnp.sum(x1 * x1, axis=-1)                  # [B, T]
+    cs = jnp.cumsum(x2 * x2, axis=-1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
+    # e2[b,t,l] = sum of x2^2 over [l, l+window)
+    e2 = cs[..., window + min_lag:window + max_lag + 1] \
+        - cs[..., min_lag:max_lag + 1]
+    mean_sq = jnp.sum(waves * waves, axis=1) / jnp.maximum(true_lens, 1)
+    ballast = opts.nccf_ballast * mean_sq * window  # [B]
+    nccf = num / jnp.sqrt(e1[..., None] * e2
+                          + ballast[:, None, None] + 1e-20)
+    log_lags_np = np.log(lags.astype(np.float64))
+    local = nccf - opts.lag_penalty * jnp.asarray(
+        log_lags_np - log_lags_np[0], jnp.float32)[None, None, :]
+    cost_mat = opts.penalty_factor * jnp.asarray(
+        (log_lags_np[:, None] - log_lags_np[None, :]) ** 2, jnp.float32)
+
+    def step(prev_score, local_t):            # prev_score [B, L]
+        trans = prev_score[:, :, None] - cost_mat[None]
+        score = jnp.max(trans, axis=1) + local_t
+        bp = jnp.argmax(trans, axis=1)
+        return score, bp
+
+    local_tm = jnp.swapaxes(local, 0, 1)      # [T, B, L]
+    final_score, bps = jax.lax.scan(step, local_tm[0], local_tm[1:])
+
+    def back(nxt, bp_t):                      # nxt [B]
+        cur = jnp.take_along_axis(bp_t, nxt[:, None], axis=1)[:, 0]
+        return cur, cur
+
+    last = jnp.argmax(final_score, axis=1)
+    _, rest = jax.lax.scan(back, last, bps, reverse=True)
+    best = jnp.concatenate([rest, last[None]], axis=0)   # [T, B]
+    best = jnp.swapaxes(best, 0, 1)                      # [B, T]
+    pov = jnp.take_along_axis(nccf, best[..., None], axis=2)[..., 0]
+    logp = jnp.log(sr) - jnp.asarray(log_lags_np, jnp.float32)[best]
+    return jnp.stack([pov, logp], axis=-1)    # [B, T, 2]
+
+
+def compute_pitch_batched(waves: dict, opts: PitchOptions | None = None,
+                          batch_size: int = 32) -> dict:
+    """{utt: [samples]} → {utt: [T, 2]} raw pitch via bucketed device
+    batches (the compute_batched pattern of feats/batch.py: one compiled
+    program per 1 s length bucket, one fetch per chunk — per-utterance
+    ragged shapes would recompile through the remote tunnel)."""
+    opts = opts or PitchOptions()
+    sr = opts.samp_freq
+    shift = int(sr * opts.frame_shift_ms / 1000)
+    window = int(sr * opts.frame_length_ms / 1000)
+    max_lag = int(sr / opts.min_f0)
+    bucket = int(sr)
+    program = jax.jit(partial(_batched_pitch_program, opts=opts))
+
+    groups: dict = {}
+    for u, w in waves.items():
+        padded = int(np.ceil(max(len(w), 1) / bucket)) * bucket
+        groups.setdefault(padded, []).append(u)
+    out: dict = {}
+    for padded, utts in sorted(groups.items()):
+        for i in range(0, len(utts), batch_size):
+            chunk = utts[i:i + batch_size]
+            arr = np.zeros((batch_size, padded), np.float32)
+            lens = np.full(batch_size, 1, np.float32)
+            for j, u in enumerate(chunk):
+                w = np.asarray(waves[u], np.float32)
+                arr[j, :len(w)] = w
+                lens[j] = len(w)
+            feats = np.asarray(program(jnp.asarray(arr),
+                                       jnp.asarray(lens)))
+            for j, u in enumerate(chunk):
+                t = max(0, 1 + (len(waves[u]) - window - max_lag)
+                        // shift)
+                out[u] = feats[j, :t]
+    return out
+
+
 def postprocess_pitch(raw: np.ndarray,
                       cmn_window: int = 151) -> np.ndarray:
     """3-dim recipe features (reference: process-kaldi-pitch-feats):

@@ -1091,8 +1091,7 @@ def _xfused_bwd_kernel(cell_clip: float, is_fwd_dir: bool,
                        dfc_ref, dfr_ref,
                        dx_ref, dic_ref, dir_ref,
                        dwx_out, dwr_out, dwrm_out, dbias_out, dpeep_out,
-                       dc_scr, dr_scr, dwx_scr, dwr_scr, dwrm_scr,
-                       dbias_scr, dpeep_scr):
+                       dc_scr, dr_scr):
     """One direction's reverse sweep.  Block index maps present frames
     in reverse processing order (direction f walks T-1→0, direction b
     walks 0→T-1); cp/rp read the PREVIOUS-in-processing-order state
@@ -1103,13 +1102,17 @@ def _xfused_bwd_kernel(cell_clip: float, is_fwd_dir: bool,
     nS = pl.num_programs(0)
     T = pl.num_programs(1)
 
+    # weight grads accumulate DIRECTLY into the resident output refs
+    # (constant index map → they live in VMEM for the whole grid);
+    # a scratch copy of the same [D,G]/[P,G] accumulators blew the
+    # 16 MB scoped-VMEM budget on real hardware by ~4 MB
     @pl.when((sb == 0) & (p == 0))
     def _():
-        dwx_scr[:] = jnp.zeros_like(dwx_scr)
-        dwr_scr[:] = jnp.zeros_like(dwr_scr)
-        dwrm_scr[:] = jnp.zeros_like(dwrm_scr)
-        dbias_scr[:] = jnp.zeros_like(dbias_scr)
-        dpeep_scr[:] = jnp.zeros_like(dpeep_scr)
+        dwx_out[:] = jnp.zeros_like(dwx_out)
+        dwr_out[:] = jnp.zeros_like(dwr_out)
+        dwrm_out[:] = jnp.zeros_like(dwrm_out)
+        dbias_out[:] = jnp.zeros_like(dbias_out)
+        dpeep_out[:] = jnp.zeros_like(dpeep_out)
 
     @pl.when(p == 0)
     def _():
@@ -1167,30 +1170,22 @@ def _xfused_bwd_kernel(cell_clip: float, is_fwd_dir: bool,
     # weight-gradient accumulation in VMEM: the whole point of the
     # variant — no [T, S, 4C] dgates stream ever reaches HBM
     dg_b = dgates.astype(jnp.bfloat16)
-    dwx_scr[:] += jnp.dot(x.astype(jnp.bfloat16).T, dg_b,
+    dwx_out[:] += jnp.dot(x.astype(jnp.bfloat16).T, dg_b,
                           preferred_element_type=jnp.float32)
-    dwr_scr[:] += jnp.dot(r_prev.astype(jnp.bfloat16).T, dg_b,
+    dwr_out[:] += jnp.dot(r_prev.astype(jnp.bfloat16).T, dg_b,
                           preferred_element_type=jnp.float32)
-    dwrm_scr[:] += jnp.dot(m.astype(jnp.bfloat16).T,
+    dwrm_out[:] += jnp.dot(m.astype(jnp.bfloat16).T,
                            dr_new.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
-    dbias_scr[0, :] += jnp.sum(dgates, axis=0)
-    dpeep_scr[0, :] += jnp.sum(di_lin * c_prev, axis=0)
-    dpeep_scr[1, :] += jnp.sum(df_lin * c_prev, axis=0)
-    dpeep_scr[2, :] += jnp.sum(do_lin * c, axis=0)
+    dbias_out[0, :] += jnp.sum(dgates, axis=0)
+    dpeep_out[0, :] += jnp.sum(di_lin * c_prev, axis=0)
+    dpeep_out[1, :] += jnp.sum(df_lin * c_prev, axis=0)
+    dpeep_out[2, :] += jnp.sum(do_lin * c, axis=0)
 
     @pl.when(p == T - 1)
     def _():
         dic_ref[:] = dc_scr[:]
         dir_ref[:] = dr_scr[:]
-
-    @pl.when((sb == nS - 1) & (p == T - 1))
-    def _():
-        dwx_out[:] = dwx_scr[:]
-        dwr_out[:] = dwr_scr[:]
-        dwrm_out[:] = dwrm_scr[:]
-        dbias_out[:] = dbias_scr[:]
-        dpeep_out[:] = dpeep_scr[:]
 
 
 @partial(jax.jit, static_argnames=("cell_clip", "interpret"))
@@ -1304,11 +1299,6 @@ def _xfused_train_bwd_dir(dy, mask, gates, cs, rs, x,
         scratch_shapes=[
             pltpu.VMEM((blk, C), jnp.float32),
             pltpu.VMEM((blk, P), jnp.float32),
-            pltpu.VMEM((D, G), jnp.float32),
-            pltpu.VMEM((P, G), jnp.float32),
-            pltpu.VMEM((C, P), jnp.float32),
-            pltpu.VMEM((1, G), jnp.float32),
-            pltpu.VMEM((3, C), jnp.float32),
         ],
         interpret=interpret,
     )(dy_t, mask_t, gates, cs, rs, x_t, init_c, init_r,

@@ -179,15 +179,24 @@ def default_phone_params() -> Dict[str, Tuple[float, float, float,
 def synthesize_utt(pron_seq: List[List[str]], spk: Speaker,
                    snr_db: float, rng: np.random.RandomState,
                    phone_params: Optional[Dict[str, Tuple]] = None,
+                   harmonic_source: bool = False,
                    ) -> np.ndarray:
     """One utterance: formant synthesis with coarticulation glides,
     speaker warp/rate/channel, then additive noise at ``snr_db``.
 
     ``phone_params`` maps phone → (F1, F2, frication, f0 multiplier);
-    None uses the clustered 40-phone inventory.  The f0 multiplier is
-    what makes tonal inventories (recipes/hkust_synth.py) separable:
-    tone is carried by pitch, not formants, exactly the cue a Mandarin
-    corpus provides."""
+    None uses the clustered 40-phone inventory.
+
+    ``harmonic_source`` switches the voiced excitation from three
+    additive sinusoids (f0 + two formant tones — the ladder corpus, kept
+    for its published numbers) to a source-filter model: harmonics of
+    spk.f0·f0m with amplitudes shaped by Lorentzian formant resonances
+    at the glided (F1, F2).  Only the harmonic model makes f0 a REAL
+    acoustic cue — in the additive model the f0 sine is ~7% of the
+    energy and NCCF pitch tracking locks to the formant periods instead
+    — so tonal inventories (recipes/hkust_synth.py, where tone is pitch
+    only) require it, exactly as real Mandarin requires pitch features
+    (egs/hkust/s5 make_mfcc_pitch.sh)."""
     params = phone_params or default_phone_params()
     chunks = [np.zeros(int(0.1 * SAMP_FREQ))]
     for phones in pron_seq:
@@ -204,17 +213,38 @@ def synthesize_utt(pron_seq: List[List[str]], spk: Speaker,
                   + nxt[0] * lam_out) * spk.warp
             g2 = (f2 * (1 - lam_in - lam_out) + prev[1] * lam_in
                   + nxt[1] * lam_out) * spk.warp
-            ph0 = 2 * np.pi * np.cumsum(
-                np.full(n, spk.f0 * f0m)) / SAMP_FREQ
-            ph1 = 2 * np.pi * np.cumsum(g1) / SAMP_FREQ
-            ph2 = 2 * np.pi * np.cumsum(g2) / SAMP_FREQ
             env = np.hanning(n) ** 0.5
-            sig = env * spk.gain * (
-                800 * np.sin(ph0)
-                + 2600 * (1 - fric) * np.sin(ph1)
-                + 1400 * (1 - fric) * np.sin(ph2)
-                + 3000 * fric * rng.randn(n)
-            )
+            if harmonic_source:
+                f0_hz = spk.f0 * f0m
+                if f0_hz > 1.0:
+                    nyq = SAMP_FREQ / 2.0
+                    K = max(1, int((nyq - 200.0) / f0_hz))
+                    k = np.arange(1, K + 1, dtype=np.float64)
+                    fk = (k * f0_hz)[:, None]          # [K, 1]
+                    bw = 180.0
+                    amp = (2600.0 / (1 + ((fk - g1[None, :]) / bw) ** 2)
+                           + 1400.0 / (1 + ((fk - g2[None, :]) / bw) ** 2)
+                           + 60.0)                      # [K, n]
+                    phase = (2 * np.pi * fk * np.arange(n) / SAMP_FREQ
+                             + rng.uniform(0, 2 * np.pi, (K, 1)))
+                    voiced = (amp * np.sin(phase)).sum(axis=0)
+                    v_rms = np.sqrt(np.mean(voiced ** 2) + 1e-8)
+                    voiced *= 2200.0 / v_rms
+                else:
+                    voiced = np.zeros(n)
+                sig = env * spk.gain * (
+                    (1 - fric) * voiced + 3000 * fric * rng.randn(n))
+            else:
+                ph0 = 2 * np.pi * np.cumsum(
+                    np.full(n, spk.f0 * f0m)) / SAMP_FREQ
+                ph1 = 2 * np.pi * np.cumsum(g1) / SAMP_FREQ
+                ph2 = 2 * np.pi * np.cumsum(g2) / SAMP_FREQ
+                sig = env * spk.gain * (
+                    800 * np.sin(ph0)
+                    + 2600 * (1 - fric) * np.sin(ph1)
+                    + 1400 * (1 - fric) * np.sin(ph2)
+                    + 3000 * fric * rng.randn(n)
+                )
             chunks.append(sig)
         chunks.append(np.zeros(int((0.02 + 0.04 * rng.rand())
                                    * SAMP_FREQ)))
@@ -236,6 +266,7 @@ def synthesize_set(
     seed: int,
     prefix: str = "utt",
     phone_params: Optional[Dict[str, Tuple]] = None,
+    harmonic_source: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, str]]:
     """Returns (waves, utt2spk); utterances round-robin over speakers
     with per-utterance swept SNR."""
@@ -248,7 +279,8 @@ def synthesize_set(
         snr = float(rng.uniform(opts.snr_lo_db, opts.snr_hi_db))
         pron_seq = [lex_prons[w][0] for w in sent]
         waves[key] = synthesize_utt(pron_seq, speakers[si], snr, rng,
-                                    phone_params=phone_params)
+                                    phone_params=phone_params,
+                                    harmonic_source=harmonic_source)
         utt2spk[key] = f"{prefix}spk{si:03d}"
     return waves, utt2spk
 
@@ -257,10 +289,17 @@ def extract_mfcc_deltas_cmvn(
     waves: Dict[str, np.ndarray],
     utt2spk: Dict[str, str],
     norm_vars: bool = True,
+    use_pitch: bool = False,
 ) -> Dict[str, np.ndarray]:
     """MFCC + deltas + PER-SPEAKER CMVN (make_mfcc.sh + add-deltas +
     compute_cmvn_stats.sh --per-speaker; per-speaker normalization is
     what makes the warped clusters learnable at all).
+
+    ``use_pitch`` pastes 3-dim processed pitch (pov, mean-subtracted
+    log-pitch, delta log-pitch) onto the MFCCs before deltas — the
+    make_mfcc_pitch.sh protocol the reference's Mandarin recipes use
+    (egs/hkust/s5/run.sh); cepstra discard f0, so tonal inventories
+    are unlearnable without it.
 
     The MFCC runs through the bucketed batch extractor (one device
     program per length bucket, feats/batch.py); deltas and CMVN are
@@ -281,6 +320,26 @@ def extract_mfcc_deltas_cmvn(
     mfcc = Mfcc(FrameExtractionOptions(samp_freq=SAMP_FREQ, dither=0.0),
                 MelBanksOptions(num_bins=23), MfccOptions())
     base = compute_batched(mfcc, waves)
+
+    if use_pitch:
+        from kaldi_aslp_tpu.feats.pitch import (
+            PitchOptions,
+            compute_pitch_batched,
+            postprocess_pitch,
+        )
+        raw_pitch = compute_pitch_batched(
+            waves, PitchOptions(samp_freq=SAMP_FREQ))
+        for u, f in base.items():
+            p = postprocess_pitch(raw_pitch[u])
+            T = len(f)
+            if len(p) < T:      # pitch needs max_lag lookahead, so it
+                # runs a couple of frames short; hold the last value
+                pad = np.repeat(p[-1:] if len(p) else
+                                np.zeros((1, 3), np.float32),
+                                T - len(p), axis=0)
+                p = np.concatenate([p, pad], axis=0)
+            base[u] = np.concatenate([np.asarray(f, np.float32),
+                                      p[:T]], axis=1)
 
     scales = delta_scales(DeltaFeaturesOptions())
 
@@ -359,7 +418,9 @@ def build_corpus(opts: Optional[HardCorpusOptions] = None,
                  num_train: int = 1600, num_test: int = 200,
                  lm_pool_mult: int = 12,
                  lexicon_text: Optional[str] = None,
-                 phone_params: Optional[Dict[str, Tuple]] = None):
+                 phone_params: Optional[Dict[str, Tuple]] = None,
+                 use_pitch: bool = False,
+                 harmonic_source: bool = False):
     """Full corpus build.  Returns a dict with lexicon text, Lang,
     train/test feats + texts + utt2spk, and the held-out-pool ARPA.
 
@@ -387,13 +448,17 @@ def build_corpus(opts: Optional[HardCorpusOptions] = None,
 
     train_waves, train_u2s = synthesize_set(
         lex.prons, train_sents, train_spk, opts, seed=opts.seed + 30,
-        prefix="tr", phone_params=phone_params)
+        prefix="tr", phone_params=phone_params,
+        harmonic_source=harmonic_source)
     test_waves, test_u2s = synthesize_set(
         lex.prons, test_sents, test_spk, opts, seed=opts.seed + 40,
-        prefix="te", phone_params=phone_params)
+        prefix="te", phone_params=phone_params,
+        harmonic_source=harmonic_source)
 
-    train_feats = extract_mfcc_deltas_cmvn(train_waves, train_u2s)
-    test_feats = extract_mfcc_deltas_cmvn(test_waves, test_u2s)
+    train_feats = extract_mfcc_deltas_cmvn(train_waves, train_u2s,
+                                           use_pitch=use_pitch)
+    test_feats = extract_mfcc_deltas_cmvn(test_waves, test_u2s,
+                                          use_pitch=use_pitch)
     train_texts = {f"tr{i:05d}": s for i, s in enumerate(train_sents)}
     test_texts = {f"te{i:05d}": s for i, s in enumerate(test_sents)}
 

@@ -136,11 +136,21 @@ def run(root: str = "exp_hkust_synth", scale: str = "medium",
     params["SIL"] = (300.0, 1400.0, 0.02, 0.0)   # near-silent hum
     if corpus is None:
         lex_text = make_pinyin_lexicon(sc.num_words)
+        # harmonic_source: tone is f0-only, so the voiced excitation
+        # must be a true harmonic series (with the additive-sines model
+        # the f0 component is ~7% of the energy — untrackable, and the
+        # CTC never left the all-blank saddle: tr loss plateaued at
+        # ~0.73, greedy SER 100% at both scales).  use_pitch: cepstra
+        # discard f0, so 3-dim pitch features are pasted onto the MFCCs
+        # — the reference's own Mandarin protocol
+        # (egs/hkust/s5 make_mfcc_pitch.sh).
         corpus = build_corpus(sc.corpus, num_train=sc.num_train,
                               num_test=sc.num_test,
                               lm_pool_mult=sc.lm_mult,
                               lexicon_text=lex_text,
-                              phone_params=params)
+                              phone_params=params,
+                              use_pitch=True,
+                              harmonic_source=True)
     phone_lang = corpus["lang"]
     logger.info("corpus: %d words, %.0f s train audio, %d/%d utts",
                 len(corpus["words"]), corpus["train_audio_s"],

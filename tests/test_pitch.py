@@ -7,6 +7,7 @@ import pytest
 from kaldi_aslp_tpu.feats.pitch import (
     PitchOptions,
     compute_pitch,
+    compute_pitch_batched,
     postprocess_pitch,
 )
 
@@ -44,6 +45,27 @@ def test_pitch_noise_has_low_pov(rng):
     feats = compute_pitch(wave, PitchOptions())
     tone_feats = compute_pitch(_tone(220.0, 1.0), PitchOptions())
     assert feats[:, 0].mean() < tone_feats[:, 0].mean() - 0.2
+
+
+def test_pitch_batched_matches_single(rng):
+    """The bucketed device-batch extractor (FFT NCCF + in-jit Viterbi
+    + device backtrace) must agree with the per-utterance path."""
+    waves = {}
+    for i, (f0, dur) in enumerate([(120.0, 0.8), (200.0, 1.3),
+                                   (95.0, 2.1), (310.0, 1.0)]):
+        w = _tone(f0, dur) + 100 * rng.randn(int(dur * 16000)).astype(
+            np.float32)
+        waves[f"u{i}"] = w
+    opts = PitchOptions()
+    batched = compute_pitch_batched(waves, opts, batch_size=3)
+    for u, w in waves.items():
+        ref = compute_pitch(w, opts)
+        got = batched[u]
+        assert got.shape == ref.shape
+        # identical Viterbi problem; allow fp reassociation noise
+        np.testing.assert_allclose(
+            np.exp(got[:, 1]), np.exp(ref[:, 1]), atol=1.0)
+        np.testing.assert_allclose(got[:, 0], ref[:, 0], atol=1e-5)
 
 
 def test_postprocess_pitch():
