@@ -310,6 +310,49 @@ def bench_decode_rtf(lattice: bool):
     return None, (time.perf_counter() - t0) / (T * FRAME_SHIFT_S)
 
 
+def bench_decode_throughput(B: int = 8, T: int = 1024):
+    """Offline decode THROUGHPUT at realistic utterance length (~10 s):
+    aggregate audio-s/s for (a) naive sequential decode, (b) pipelined
+    decode_many (fetch hidden behind the next utterance's dispatch),
+    (c) lockstep decode_batch.  The reference scales offline decode by
+    run.pl ark-sharding (aslp_scripts/aslp_nnet/decode.sh:129-134);
+    on one chip the equivalents are (b)/(c)."""
+    from kaldi_aslp_tpu.decoder.beam import BatchedBeamDecoder, CsrGraph
+
+    if not _DECODE_STATE:
+        bench_decode_rtf(lattice=False)   # builds graph + decoder
+    dec0 = _DECODE_STATE["dec"]
+    dec = BatchedBeamDecoder(dec0.graph, dec0.tid_to_pdf,
+                             acoustic_scale=1.0, beam=14.0,
+                             max_active=2048, chunk=128)
+    rng = np.random.RandomState(3)
+    num_pdfs = int(np.max(dec0.tid_to_pdf)) + 1
+    import jax.numpy as jnp
+    lls = []
+    for b in range(B):
+        ll = rng.uniform(-12.0, -10.0, size=(T, num_pdfs)).astype(
+            np.float32)
+        ll[np.arange(T), rng.randint(0, num_pdfs, T)] = -0.5
+        lls.append(jnp.asarray(ll))
+    audio_s = B * T * FRAME_SHIFT_S
+
+    dec.decode_many(lls)         # warmup/compile (shares decode jits)
+    t0 = time.perf_counter()
+    dec.decode_many(lls)
+    many = audio_s / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    for x in lls:
+        dec.decode(x)
+    seq = audio_s / (time.perf_counter() - t0)
+
+    dec.decode_batch(lls)        # warmup/compile
+    t0 = time.perf_counter()
+    dec.decode_batch(lls)
+    batch = audio_s / (time.perf_counter() - t0)
+    return seq, many, batch
+
+
 def main():
     # cold compiles can take ~10 min through a remote-compile tunnel;
     # never let a secondary metric sink the primary one
@@ -363,6 +406,14 @@ def main():
         rtf_5m = None
     finally:
         signal.alarm(0)
+    seq_tp = many_tp = batch_tp = None
+    try:
+        signal.alarm(1500)
+        seq_tp, many_tp, batch_tp = bench_decode_throughput()
+    except Exception:
+        pass
+    finally:
+        signal.alarm(0)
     out = {
         "metric": "audio-seconds/s/chip (BLSTM-CTC train)",
         "value": round(throughput, 2),
@@ -388,6 +439,10 @@ def main():
         out["lattice_rtf_500k_state_graph"] = round(lat_rtf, 4)
     if rtf_5m is not None:
         out["decode_rtf_5m_state_graph"] = round(rtf_5m, 4)
+    if seq_tp is not None:
+        out["decode10s_seq_audio_s_per_s"] = round(seq_tp, 1)
+        out["decode10s_pipelined_audio_s_per_s"] = round(many_tp, 1)
+        out["decode10s_batch8_audio_s_per_s"] = round(batch_tp, 1)
     print(json.dumps(out))
 
 

@@ -661,6 +661,31 @@ def _backtrace_scan(arc_planes, slot_planes, start_slot, stages: int):
     return slot, arcs
 
 
+@partial(jax.jit, static_argnames=("stages",))
+def _backtrace_scan_batched(arc_planes, slot_planes, start_slots,
+                            stages: int):
+    """[B, ...] backtrace as ONE compiled program (an eager vmap would
+    dispatch every scan step as a separate remote call)."""
+    return jax.vmap(
+        lambda a, s, k: _backtrace_scan(a, s, k, stages),
+        in_axes=(0, 0, 0))(arc_planes, slot_planes, start_slots)
+
+
+@jax.jit
+def _best_final_dev(st, sc, final_tbl):
+    """Device-side FindBestPath final-state selection (the host version
+    forced a frontier fetch per utterance, serializing consecutive
+    decodes on the fetch RTT).  Returns (slot, score, reached_final)."""
+    fin = jnp.where(st >= 0, final_tbl[jnp.maximum(st, 0)], jnp.inf)
+    total = jnp.where(jnp.isfinite(fin), sc - fin, NEG_INF)
+    k1 = jnp.argmax(total)
+    k2 = jnp.argmax(sc)
+    has = total[k1] > NEG_INF / 2
+    k = jnp.where(has, k1, k2).astype(jnp.int32)
+    score = jnp.where(has, total[k1], sc[k2])
+    return k, score, has
+
+
 class BeamSearchDecoder:
     """Beam + max-active pruned decode over a CsrGraph.
 
@@ -724,6 +749,7 @@ class BeamSearchDecoder:
             "ep_pack": jnp.asarray(ep_pack),
             "em_arc": jnp.asarray(graph.em_arc),
             "ep_arc": jnp.asarray(graph.ep_arc),
+            "final": jnp.asarray(graph.final.astype(np.float32)),
         }
         self.eps_rounds = max(graph.eps_diameter, 0)
         # per-frame budget for the device-compacted lattice record
@@ -844,8 +870,39 @@ class BeamSearchDecoder:
         boundary (backpointer planes are ~MBs per chunk, which through
         a remote-device tunnel dominates wall time; the reference's
         host decoder has no such boundary to worry about)."""
+        pend = self._dispatch_decode(loglikes)
+        return self._finish_decode(pend)
+
+    def decode_many(self, loglikes_list, ahead: int = 2):
+        """Decode a list of utterances with the next utterances' device
+        work dispatched BEFORE the current one's results are fetched:
+        the per-utterance fetch RTT (~50 ms through the tunnel) hides
+        behind the next scans, so aggregate throughput approaches the
+        pure scan rate (the run.pl nj-sharded offline-decode role,
+        reference: aslp_scripts/aslp_nnet/decode.sh:129-134, served on
+        one chip by pipelining instead of process parallelism).
+
+        ``ahead`` bounds in-flight utterances: each holds its [Tp,
+        stages, K] backpointer planes in HBM until its backtrace
+        executes."""
+        out, window = [], []
+        for x in loglikes_list:
+            window.append(self._dispatch_decode(x))
+            if len(window) > ahead:
+                out.append(self._finish_decode(window.pop(0)))
+        out.extend(self._finish_decode(p) for p in window)
+        return out
+
+    def _dispatch_decode(self, loglikes):
+        """Dispatch one utterance's full decode (scan chunks + device
+        best-final + device backtrace); returns handles, fetches
+        NOTHING."""
         T = len(loglikes)
         states0, scores0, init_bp = self._init_frontier()
+        if T == 0:
+            k, score, _ = self._best_final(states0, scores0)
+            # host-value handle: (flat=score, n_stages=k) by position
+            return (score, k, 0, states0, init_bp)
         st = jnp.asarray(states0)
         sc = jnp.asarray(scores0)
         # single upload (or no-op if the AM already produced the scores
@@ -859,12 +916,35 @@ class BeamSearchDecoder:
                 ll_dev, t0, T, st, sc, False)
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
-        k, score, _ = self._best_final(np.asarray(st), np.asarray(sc))
+        k, score, _ = _best_final_dev(st, sc, self._dev["final"])
+        arc_planes = jnp.concatenate(dev_arc)
+        slot_planes = jnp.concatenate(dev_slot)
+        n_stages = arc_planes.shape[1]
+        final_slot, arcs_rev = _backtrace_scan(
+            arc_planes, slot_planes, k, n_stages)
+        # ONE array to fetch: the two scalars ride behind the flattened
+        # arc matrix (every fetch is a ~50 ms tunnel RTT)
+        flat = jnp.concatenate([
+            arcs_rev.reshape(-1),
+            final_slot.astype(jnp.int32)[None],
+            jax.lax.bitcast_convert_type(score, jnp.int32)[None]])
+        return (flat, n_stages, T, states0, init_bp)
+
+    def _finish_decode(self, pend):
+        """Fetch + host tail for one _dispatch_decode handle."""
+        flat, n_stages, T, states0, init_bp = pend
         if T == 0:
+            k, score = n_stages, flat   # host values from dispatch
             words, ali = self._init_chain_words(k, states0, init_bp)
             return words, ali, score
-        words, ali = self._backtrace_device(
-            dev_arc, dev_slot, k, T, states0, init_bp)
+        h = np.asarray(flat)                       # the one fetch
+        final_slot = int(h[-2])
+        score = float(np.asarray(h[-1], np.int32).view(np.float32))
+        if score <= NEG_INF / 2:
+            raise RuntimeError("decode failed: empty frontier")
+        arcs_rev = h[:-2].reshape(-1, n_stages)
+        words, ali = self._host_path_tail(arcs_rev, final_slot, T,
+                                          states0, init_bp)
         return words, ali, score
 
     def _init_chain_words(self, slot, states0, init_bp):
@@ -1042,14 +1122,19 @@ class BeamSearchDecoder:
     def _backtrace_device(self, dev_arc, dev_slot, k, T, states0,
                           init_bp):
         """Shared device-side backtrace tail (see :meth:`decode`)."""
-        g = self.graph.packed
         arc_planes = jnp.concatenate(dev_arc)
         slot_planes = jnp.concatenate(dev_slot)
         n_stages = arc_planes.shape[1]
         final_slot, arcs_rev = _backtrace_scan(
             arc_planes, slot_planes, k, n_stages)
+        return self._host_path_tail(np.asarray(arcs_rev),
+                                    int(final_slot), T, states0, init_bp)
+
+    def _host_path_tail(self, arcs_rev, final_slot: int, T, states0,
+                        init_bp):
+        """Map fetched reverse-order arc rows to words + alignment."""
+        g = self.graph.packed
         arcs_rt = self._map_rev_arcs(np.asarray(arcs_rev))
-        final_slot = int(final_slot)
         Tp = arcs_rt.shape[0]
         ali = np.zeros(T, np.int32)
         words_rev: List[int] = []
@@ -1277,15 +1362,22 @@ class BatchedBeamDecoder(BeamSearchDecoder):
         lens = [len(x) for x in loglikes_list]
         Tmax = max(lens)
         states0, scores0, init_bp = self._init_frontier()
-        # shared padded batch on device
+        # shared padded batch, assembled ON DEVICE: the scores come from
+        # the acoustic model as device arrays, and np.asarray'ing them
+        # back to host + re-uploading the [B, Tp, P] block cost more
+        # than the whole batched scan (measured: ~3.4 s of a 5.7 s
+        # B=8/T=1024 decode).  jnp.pad per stream is one tiny eager op;
+        # distinct source lengths each compile a trivial pad kernel.
         n_chunks = max(1, (Tmax + self.chunk - 1) // self.chunk)
         n_chunks = 1 << (n_chunks - 1).bit_length()
         Tp = n_chunks * self.chunk
-        P = loglikes_list[0].shape[1]
-        ll = np.zeros((B, Tp, P), np.float32)
-        for b, x in enumerate(loglikes_list):
-            ll[b, :lens[b]] = np.asarray(x, np.float32)
-        ll_dev = jnp.asarray(ll)
+        padded = []
+        for x in loglikes_list:
+            xd = jnp.asarray(x, jnp.float32)
+            if xd.shape[0] < Tp:
+                xd = jnp.pad(xd, ((0, Tp - xd.shape[0]), (0, 0)))
+            padded.append(xd)
+        ll_dev = jnp.stack(padded)
         st = jnp.broadcast_to(jnp.asarray(states0), (B, self.K))
         sc = jnp.broadcast_to(jnp.asarray(scores0), (B, self.K))
         total_t = jnp.asarray(lens, jnp.int32)
@@ -1301,23 +1393,20 @@ class BatchedBeamDecoder(BeamSearchDecoder):
             )
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
-        st_h = np.asarray(st)
-        sc_h = np.asarray(sc)
         arc_planes = jnp.concatenate(dev_arc, axis=1)   # [B, Tc, st, K]
         slot_planes = jnp.concatenate(dev_slot, axis=1)
         n_stages = arc_planes.shape[2]
-        slots = []
-        scores_out = []
-        for b in range(B):
-            k, score, _ = self._best_final(st_h[b], sc_h[b])
-            slots.append(k)
-            scores_out.append(score)
+        # final-state selection on device: the old per-stream host
+        # _best_final forced a frontier fetch that serialized the whole
+        # batch on a tunnel RTT before the backtrace could dispatch
+        ks, scores_dev, _ = jax.vmap(
+            _best_final_dev, in_axes=(0, 0, None))(st, sc,
+                                                   self._dev["final"])
+        scores_out = [float(s) for s in np.asarray(scores_dev)]
         # per-utterance backtrace must start at ITS last frame: planes
         # beyond len are identity, so walking from the common end works
-        final_slots, arcs_rev = jax.vmap(
-            lambda a, s, k: _backtrace_scan(a, s, k, n_stages),
-            in_axes=(0, 0, 0),
-        )(arc_planes, slot_planes, jnp.asarray(slots, jnp.int32))
+        final_slots, arcs_rev = _backtrace_scan_batched(
+            arc_planes, slot_planes, ks.astype(jnp.int32), n_stages)
         arcs_rt = self._map_rev_arcs(np.asarray(arcs_rev))  # [B,Tc,desc]
         final_slots = np.asarray(final_slots)
         g = self.graph.packed

@@ -44,10 +44,15 @@ from kaldi_aslp_tpu.recipes.score_util import decode_wer_beam
 
 logger = get_logger("hard_ladder")
 
-# GMM-stage decode beam: the hard corpus has speech-like loglike
-# dynamic ranges (per-speaker CMVN + noise), so Kaldi-scale beams work
-# (unlike rm_synth's over-clean audio which needed beam 200)
-GMM_BEAM = 24.0
+# GMM-stage decode beam.  Context-dependent Gaussians are sharper than
+# monophone ones, so correct paths run larger transient score deficits;
+# at beam 24 the tri stage was beam-limited (measured on the small
+# corpus: tri WER 62.3 @ beam 24 -> 54.6 @ 48 -> 50.0 @ 96, saturated
+# by 200, while mono moved 50.65 -> 50.0) — the same failure rm_synth
+# hit (its GMM stages decode at beam 200).  96 is past both stages'
+# saturation knee; cost is unaffected because the frontier budget
+# (max_active), not the beam, bounds per-frame work in decoder/beam.py.
+GMM_BEAM = 96.0
 
 
 class _Scale:

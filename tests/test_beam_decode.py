@@ -204,6 +204,30 @@ def test_batched_beam_matches_single():
         assert s1 == pytest.approx(s2, abs=1e-3)
 
 
+def test_decode_many_matches_single():
+    """Pipelined sequential decode (fetch deferred behind the next
+    utterance's dispatch) == per-utterance decode."""
+    lang, packed, lut = _small_setup()
+    y, n = lang.phones.id("Y"), lang.phones.id("N")
+    seqs = [
+        [0, y, y, 0],
+        [0, n, n, 0, y, 0],
+        [0, y, 0, n, 0, y, y, 0, 0],
+        [0, n, 0],
+    ]
+    lls = [_scores(lang, s) for s in seqs]
+    dec = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                            acoustic_scale=1.0, beam=1e9,
+                            max_active=64, arc_budget=1024, chunk=8)
+    expected = [dec.decode(ll) for ll in lls]
+    got = dec.decode_many(lls, ahead=2)
+    assert len(got) == len(expected)
+    for (w1, a1, s1), (w2, a2, s2) in zip(got, expected):
+        assert w1 == w2
+        np.testing.assert_array_equal(a1, a2)
+        assert s1 == pytest.approx(s2, abs=1e-3)
+
+
 def test_hub_state_cap_exact():
     """EPS expansion capped at max_active is EXACT when rows are
     weight-sorted (CsrGraph.from_packed): an eps hub state (word-loop
