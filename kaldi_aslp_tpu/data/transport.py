@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 
-TRANSPORTS = ("f32", "bf16", "int8")
+TRANSPORTS = ("f32", "bf16", "int8", "int8d")
 
 
 def mask_from_lengths(in_lens: jnp.ndarray, T: int) -> jnp.ndarray:
@@ -89,18 +89,53 @@ def pack_feats(feats: np.ndarray, transport: str,
         offset = lo.astype(np.float32)
         q = np.rint((f - offset) / scale) - 127.0
         return q.astype(np.int8), scale, offset
+    if transport == "int8d":
+        # time-delta-coded int8: the tunnel compresses the wire stream,
+        # and consecutive feature frames are highly correlated, so
+        # shipping first-order time differences of the int8 codes turns
+        # the payload into near-zero bytes the compressor can crush
+        # (measured rates in STATUS.md).  The per-dim scale is widened
+        # (if needed) so every frame-to-frame difference fits int8 —
+        # the encode is then a pure vectorized diff and the device
+        # decode an exact integer cumsum along T.
+        f = np.asarray(feats, np.float32)
+        if f.ndim == 3 and in_lens is not None:
+            lens = np.asarray(in_lens, np.int64)
+            real = np.concatenate(
+                [f[s, :lens[s]] for s in range(f.shape[0])])
+        else:
+            real = f.reshape(-1, f.shape[-1])
+        lo = real.min(axis=0)
+        hi = real.max(axis=0)
+        scale = np.maximum(hi - lo, 1e-10).astype(np.float32) / 254.0
+        v = np.rint((f - lo) / scale)                 # [.., T, D] codes
+        dmax = np.abs(np.diff(v, axis=-2)).max(axis=tuple(
+            range(v.ndim - 1))) if v.shape[-2] > 1 else np.zeros(
+            v.shape[-1])
+        widen = np.maximum(dmax / 127.0, 1.0).astype(np.float32)
+        scale = scale * widen
+        v = np.clip(np.rint((f - lo) / scale), 0, 254)
+        d = np.diff(v, axis=-2, prepend=0.0)
+        d[..., 0, :] = v[..., 0, :] - 127.0           # first frame code
+        return d.astype(np.int8), scale, lo.astype(np.float32)
     raise ValueError(f"unknown transport {transport!r}")
 
 
 def unpack_feats(payload: jnp.ndarray, scale: Optional[jnp.ndarray],
                  offset: Optional[jnp.ndarray],
-                 in_lens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 in_lens: Optional[jnp.ndarray] = None,
+                 delta: bool = False) -> jnp.ndarray:
     """Device-side inverse of pack_feats (traceable).  For int8 the
     padded region is re-zeroed from ``in_lens`` so padding stays an
     exact 0.0 (quantization would otherwise leave `offset`-ish values
-    there, and splice/conv layers read across frame boundaries)."""
+    there, and splice/conv layers read across frame boundaries).
+    ``delta=True`` decodes the "int8d" wire format: integer cumsum
+    along T reverses the time-delta coding exactly."""
     if payload.dtype == jnp.int8:
-        f = (payload.astype(jnp.float32) + 127.0) * scale + offset
+        codes = payload.astype(jnp.int32)
+        if delta:
+            codes = jnp.cumsum(codes, axis=-2)
+        f = (codes.astype(jnp.float32) + 127.0) * scale + offset
         if in_lens is not None and f.ndim == 3:
             f = f * mask_from_lengths(in_lens, f.shape[1])[:, :, None]
         return f

@@ -1188,6 +1188,198 @@ def _xfused_bwd_kernel(cell_clip: float, is_fwd_dir: bool,
         dir_ref[:] = dr_scr[:]
 
 
+def _bixfused_bwd_kernel(cell_clip: float,
+                         dyf_ref, dyb_ref, mf_ref, mb_ref,
+                         gf_ref, gb_ref, cpf_ref, cpb_ref,
+                         rpf_ref, rpb_ref, xf_ref, xb_ref,
+                         ic2_ref, ir2_ref,
+                         w_x2_ref, w_r2_ref, w_rm2_ref, peep2_ref,
+                         dfc2_ref, dfr2_ref,
+                         dxf_ref, dxb_ref, dic2_ref, dir2_ref,
+                         dwx2_out, dwr2_out, dwrm2_out,
+                         dbias2_out, dpeep2_out,
+                         dcf_scr, drf_scr, dcb_scr, drb_scr):
+    """BOTH directions' reverse sweeps in one grid step (direction f at
+    frame T-1-p via reverse index maps, direction b at frame p) — the
+    same two-directions-per-step overlap the forward kernel uses.  One
+    T-length sequential grid instead of two back-to-back halves the
+    latency-bound critical path of the backward pass.  Weight-grad
+    accumulators live in the stacked resident outputs; VMEM ≈ 33 MB at
+    the flagship shape, so the wrapper raises vmem_limit_bytes."""
+    sb = pl.program_id(0)
+    p = pl.program_id(1)
+    nS = pl.num_programs(0)
+    T = pl.num_programs(1)
+
+    @pl.when((sb == 0) & (p == 0))
+    def _():
+        dwx2_out[:] = jnp.zeros_like(dwx2_out)
+        dwr2_out[:] = jnp.zeros_like(dwr2_out)
+        dwrm2_out[:] = jnp.zeros_like(dwrm2_out)
+        dbias2_out[:] = jnp.zeros_like(dbias2_out)
+        dpeep2_out[:] = jnp.zeros_like(dpeep2_out)
+
+    @pl.when(p == 0)
+    def _():
+        dcf_scr[:] = dfc2_ref[0]
+        drf_scr[:] = dfr2_ref[0]
+        dcb_scr[:] = dfc2_ref[1]
+        drb_scr[:] = dfr2_ref[1]
+
+    C = dcf_scr.shape[1]
+    at_boundary = p == T - 1
+
+    def dir_body(d, dy_v, m_v, g_v, cp_v, rp_v, x_v,
+                 dc_scr, dr_scr, dx_ref):
+        mask_t = m_v[:, 0:1]
+        c_prev = jnp.where(at_boundary, ic2_ref[d].astype(jnp.float32),
+                           cp_v.astype(jnp.float32))
+        r_prev = jnp.where(at_boundary, ir2_ref[d].astype(jnp.float32),
+                           rp_v.astype(jnp.float32))
+        gates = g_v.astype(jnp.float32)
+        gt = gates[:, :C]
+        i = gates[:, C:2 * C]
+        f = gates[:, 2 * C:3 * C]
+        o = gates[:, 3 * C:]
+        cu = f * c_prev + i * gt
+        c = jnp.clip(cu, -cell_clip, cell_clip) if cell_clip > 0 else cu
+        tanh_c = jnp.tanh(c)
+        m = o * tanh_c
+        dR_after = dy_v.astype(jnp.float32) * mask_t + dr_scr[:]
+        dr_new = mask_t * dR_after
+        dr_prev = (1.0 - mask_t) * dR_after
+        dc_new = mask_t * dc_scr[:]
+        dc_prev_skip = (1.0 - mask_t) * dc_scr[:]
+        dm = _mm_k(dr_new, w_rm2_ref[d].T, True)
+        do = dm * tanh_c
+        dc = dc_new + dm * o * (1.0 - tanh_c * tanh_c)
+        do_lin = do * o * (1.0 - o)
+        dc = dc + do_lin * peep2_ref[d, 2]
+        if cell_clip > 0:
+            dcu = dc * (jnp.abs(cu) < cell_clip).astype(jnp.float32)
+        else:
+            dcu = dc
+        di_lin = dcu * gt * i * (1.0 - i)
+        df_lin = dcu * c_prev * f * (1.0 - f)
+        dg_lin = dcu * i * (1.0 - gt * gt)
+        dc_prev = dcu * f + di_lin * peep2_ref[d, 0] \
+            + df_lin * peep2_ref[d, 1] + dc_prev_skip
+        dgates = jnp.concatenate([dg_lin, di_lin, df_lin, do_lin],
+                                 axis=1)
+        dr_prev = dr_prev + _mm_k(dgates, w_r2_ref[d].T, True)
+        dc_scr[:] = dc_prev
+        dr_scr[:] = dr_prev
+        dx_ref[0] = _mm_k(dgates, w_x2_ref[d].T, True).astype(
+            dx_ref.dtype)
+        dg_b = dgates.astype(jnp.bfloat16)
+        dwx2_out[d] += jnp.dot(x_v.astype(jnp.bfloat16).T, dg_b,
+                               preferred_element_type=jnp.float32)
+        dwr2_out[d] += jnp.dot(r_prev.astype(jnp.bfloat16).T, dg_b,
+                               preferred_element_type=jnp.float32)
+        dwrm2_out[d] += jnp.dot(m.astype(jnp.bfloat16).T,
+                                dr_new.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+        dbias2_out[d, 0, :] += jnp.sum(dgates, axis=0)
+        dpeep2_out[d, 0, :] += jnp.sum(di_lin * c_prev, axis=0)
+        dpeep2_out[d, 1, :] += jnp.sum(df_lin * c_prev, axis=0)
+        dpeep2_out[d, 2, :] += jnp.sum(do_lin * c, axis=0)
+
+    dir_body(0, dyf_ref[0], mf_ref[0], gf_ref[0], cpf_ref[0],
+             rpf_ref[0], xf_ref[0], dcf_scr, drf_scr, dxf_ref)
+    dir_body(1, dyb_ref[0], mb_ref[0], gb_ref[0], cpb_ref[0],
+             rpb_ref[0], xb_ref[0], dcb_scr, drb_scr, dxb_ref)
+
+    @pl.when(p == T - 1)
+    def _():
+        dic2_ref[0] = dcf_scr[:]
+        dic2_ref[1] = dcb_scr[:]
+        dir2_ref[0] = drf_scr[:]
+        dir2_ref[1] = drb_scr[:]
+
+
+@partial(jax.jit, static_argnames=("cell_clip", "interpret"))
+def _bixfused_train_bwd(dysf, dysb, mask, gf, gb, csf, csb, rsf, rsb,
+                        x, init_c, init_r, w_x2, w_r2, w_rm2, peep2,
+                        d_final_c, d_final_r, cell_clip, interpret):
+    """Fused bidirectional backward: one pallas_call, both directions
+    per grid step.  Returns (dx, dic, dir, dwx2, dwr2, dwrm2, dbias2,
+    dpeep2)."""
+    T, S, G = gf.shape
+    C = G // 4
+    P = w_r2.shape[1]
+    D = w_x2.shape[1]
+    blk = min(S, S_BLK)
+    nS = S // blk
+    dyf_t = jnp.swapaxes(dysf, 0, 1).astype(jnp.bfloat16)
+    dyb_t = jnp.swapaxes(dysb, 0, 1).astype(jnp.bfloat16)
+    x_t = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)
+    mask_t = jnp.broadcast_to(
+        jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
+    zc = jnp.zeros_like(init_c)
+    zr = jnp.zeros_like(init_r)
+    ic2 = jnp.stack([init_c, zc])
+    ir2 = jnp.stack([init_r, zr])
+    dfc2 = jnp.stack([d_final_c, zc])
+    dfr2 = jnp.stack([d_final_r, zr])
+    rev = partial(_rev_idx, T=T)
+    rprev = partial(_rev_prev_idx, T=T)
+    fnext = partial(_fwd_next_idx, T=T)
+
+    def res2(shape):
+        return _resident3((2,) + shape)
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    outs = pl.pallas_call(
+        partial(_bixfused_bwd_kernel, cell_clip),
+        grid=(nS, T),
+        in_specs=[
+            rev((blk, P)), _fwd_idx((blk, P)),          # dyf, dyb
+            rev((blk, 128)), _fwd_idx((blk, 128)),      # masks
+            rev((blk, G)), _fwd_idx((blk, G)),          # gates
+            rprev((blk, C)), fnext((blk, C)),           # c_prev streams
+            rprev((blk, P)), fnext((blk, P)),           # r_prev streams
+            rev((blk, D)), _fwd_idx((blk, D)),          # x views
+            res2((blk, C)), res2((blk, P)),             # ic2, ir2
+            res2((D, G)), res2((P, G)), res2((C, P)), res2((3, C)),
+            res2((blk, C)), res2((blk, P)),             # dfc2, dfr2
+        ],
+        out_specs=[
+            rev((blk, D)), _fwd_idx((blk, D)),          # dxf, dxb
+            res2((blk, C)), res2((blk, P)),             # dic2, dir2
+            res2((D, G)), res2((P, G)), res2((C, P)),
+            res2((1, G)), res2((3, C)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, S, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, S, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((2, S, C), jnp.float32),
+            jax.ShapeDtypeStruct((2, S, P), jnp.float32),
+            jax.ShapeDtypeStruct((2, D, G), jnp.float32),
+            jax.ShapeDtypeStruct((2, P, G), jnp.float32),
+            jax.ShapeDtypeStruct((2, C, P), jnp.float32),
+            jax.ShapeDtypeStruct((2, 1, G), jnp.float32),
+            jax.ShapeDtypeStruct((2, 3, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+            pltpu.VMEM((blk, C), jnp.float32),
+            pltpu.VMEM((blk, P), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(dyf_t, dyb_t, mask_t, mask_t, gf, gb, csf, csb, rsf, rsb,
+      x_t, x_t, ic2, ir2, w_x2, w_r2, w_rm2, peep2, dfc2, dfr2)
+    (dxf, dxb, dic2, dir2, dwx2, dwr2, dwrm2, dbias2, dpeep2) = outs
+    dx = (dxf.astype(jnp.float32) + dxb.astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+    return (jnp.swapaxes(dx, 0, 1), dic2[0], dir2[0],
+            dwx2, dwr2, dwrm2, dbias2[:, 0], dpeep2)
+
+
 @partial(jax.jit, static_argnames=("cell_clip", "interpret"))
 def _bixfused_train_fwd(x, mask, w_x2, w_r2, w_rm2, peep2, bias2,
                         init_c, init_r, cell_clip, interpret):
@@ -1339,9 +1531,18 @@ def _get_bixfused_core(cell_clip: float, interpret: bool):
                         init_c, init_r)
 
     def bwd(res, cots):
+        import os
         dysf, dysb, d_final_c, d_final_r = cots
         (x, mask, gf, gb, csf, csb, rsf, rsb,
          w_x2, w_r2, w_rm2, peep2, init_c, init_r) = res
+        if not os.environ.get("KALDI_ASLP_LSTM_SPLIT_BWD"):
+            dx, dic, dir_, dwx2, dwr2, dwrm2, db2, dp2 = \
+                _bixfused_train_bwd(
+                    dysf, dysb, mask, gf, gb, csf, csb, rsf, rsb,
+                    x, init_c, init_r, w_x2, w_r2, w_rm2, peep2,
+                    d_final_c, d_final_r, cell_clip, interpret)
+            return (dx, None, dwx2, dwr2, dwrm2, dp2, db2, dic, dir_)
+        # split per-direction fallback: ~half the VMEM footprint
         S = x.shape[0]
         zc = jnp.zeros((S, csf.shape[2]), jnp.float32)
         zr = jnp.zeros((S, rsf.shape[2]), jnp.float32)

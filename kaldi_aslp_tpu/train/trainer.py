@@ -166,9 +166,12 @@ class CtcTrainer:
         if self.transport == "f32":
             return core
 
+        delta = self.transport == "int8d"
+
         def step(params, velocity, payload, scale, offset, labels,
                  in_lens, lab_lens, lr, rng):
-            feats = unpack_feats(payload, scale, offset, in_lens)
+            feats = unpack_feats(payload, scale, offset, in_lens,
+                                 delta=delta)
             mask = mask_from_lengths(in_lens, feats.shape[1])
             return core(params, velocity, feats, labels, in_lens,
                         lab_lens, mask, lr, rng)

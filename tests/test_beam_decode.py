@@ -506,10 +506,10 @@ def test_record_prune_matches_numpy_mirror():
     pseudo = None if is_final else (states, scores)
 
     lattice_beam = 7.0
-    rec = dec._prune_records_device(
+    rec_tt, rec_arcs = dec._prune_records_device(
         [tuple(jnp.asarray(x) for x in p) for p in planes],
         ll_dev, T, best_score, lattice_beam, pseudo)
-    dev_kept = [set(a for a in rec[t, 0] if a >= 0) for t in range(T)]
+    dev_kept = [set(rec_arcs[rec_tt == t]) for t in range(T)]
 
     # ---- numpy mirror (recomputes ac/w from the packed arc tables —
     # independently checks the recorded dst/delta planes too) ----

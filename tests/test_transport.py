@@ -84,7 +84,36 @@ def test_mask_from_lengths_matches_batcher_mask():
         np.testing.assert_array_equal(dev, b.frame_mask)
 
 
-@pytest.mark.parametrize("transport,tol", [("bf16", 2e-2), ("int8", 6e-2)])
+def test_int8d_decodes_to_exact_int8_codes():
+    """Delta coding is lossless over the int8 quantization grid: the
+    cumsum-decoded codes equal direct int8 quantization at the (possibly
+    widened) scale, and padding decodes to exact zero."""
+    f = _rand_feats()
+    S, T, D = f.shape
+    in_lens = np.array([20, 13, 7], np.int32)
+    for s in range(S):
+        f[s, in_lens[s]:] = 0.0
+    payload, scale, offset = pack_feats(f, "int8d", in_lens)
+    assert payload.dtype == np.int8 and payload.nbytes == f.nbytes // 4
+    out = np.asarray(unpack_feats(jnp.asarray(payload), jnp.asarray(scale),
+                                  jnp.asarray(offset), jnp.asarray(in_lens),
+                                  delta=True))
+    err = np.abs(out - f)
+    assert (err <= scale[None, None, :] * 0.51 + 1e-6).all()
+    for s in range(S):
+        np.testing.assert_array_equal(out[s, in_lens[s]:], 0.0)
+    # deltas really are small for temporally-smooth features (frame
+    # rate >> modulation rate, the MFCC regime)
+    T2 = 400
+    t = np.linspace(0, 1, T2, dtype=np.float32)
+    g = np.stack([np.sin(2 * np.pi * (d + 1) * t) for d in range(D)],
+                 axis=1)[None].repeat(S, 0).astype(np.float32)
+    p2, s2, o2 = pack_feats(g, "int8d", np.full(S, T2, np.int32))
+    assert np.abs(p2[:, 1:]).mean() < 8.0
+
+
+@pytest.mark.parametrize("transport,tol", [("bf16", 2e-2), ("int8", 6e-2),
+                                           ("int8d", 6e-2)])
 def test_ctc_trainer_transport_matches_f32(transport, tol):
     from kaldi_aslp_tpu.models.nnet import Nnet
     from kaldi_aslp_tpu.models.simple import AffineTransform
