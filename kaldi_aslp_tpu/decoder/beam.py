@@ -1174,6 +1174,73 @@ class BeamSearchDecoder:
             s = int(g.src[a])
         return list(reversed(words_rev)), ali
 
+    def _build_lattice_native(self, tt, arcs, T, ll, best_score,
+                              lattice_beam, pseudo_finals):
+        """C++ host build over the record arrays (native/
+        lattice_build.cc — the per-frame numpy loop below costs ~1 s of
+        interpreter overhead at T=6000).  Returns a Lattice or None
+        (no toolchain / unexpected native error → numpy fallback)."""
+        from kaldi_aslp_tpu import native
+        g = self.graph.packed
+        states0, scores0, init_bp = self._init_frontier()
+        rounds = max(self.eps_rounds, 1)
+        wmax = rounds + 1
+        if wmax > 8:
+            return None
+        arcs = np.asarray(arcs, np.int64)
+        tt = np.asarray(tt, np.int64)
+        is_eps = g.ilabel[arcs] == 0 if len(arcs) else \
+            np.zeros(0, bool)
+        init_arcs = np.asarray(sorted(init_bp.values()), np.int64)
+        ept = np.concatenate([np.zeros(len(init_arcs), np.int64),
+                              tt[is_eps] + 1])
+        epa = np.concatenate([init_arcs, arcs[is_eps]])
+        emt, ema = tt[~is_eps], arcs[~is_eps]
+
+        def dedup(t, a):
+            if not len(t):
+                return t, a
+            o = np.lexsort((a, t))
+            t, a = t[o], a[o]
+            first = np.concatenate(
+                [[True], (t[1:] != t[:-1]) | (a[1:] != a[:-1])])
+            return t[first], a[first]
+
+        ept, epa = dedup(ept, epa)
+        emt, ema = dedup(emt, ema)
+        ok = (states0 >= 0) & (scores0 > NEG_INF / 2)
+        if pseudo_finals is not None:
+            fstates, fscores = pseudo_finals
+            fok = (fstates >= 0) & (fscores > NEG_INF / 2)
+            fin_s = np.unique(fstates[fok]).astype(np.int64)
+            fin_c = np.zeros(len(fin_s), np.float64)
+            fold = False
+        else:
+            fin_all = np.asarray(self.graph.final, np.float64)
+            fin_s = np.nonzero(np.isfinite(fin_all))[0].astype(np.int64)
+            fin_c = fin_all[fin_s]
+            fold = True
+        out = native.lattice_build(
+            g.src, g.dst, g.ilabel, g.olabel, g.weight, g.num_states,
+            np.asarray(ll, np.float32), self.tid_to_pdf,
+            float(self.acoustic_scale),
+            ept, epa, emt, ema,
+            states0[ok], scores0[ok].astype(np.float64),
+            fin_s, fin_c, fold, np.asarray(self.graph.final, np.float32),
+            float(best_score), float(lattice_beam), rounds, wmax)
+        if out is None:
+            return None
+        n = len(out["tend"])
+        words, wcnt = out["words"], out["wcnt"]
+        arcs_out = [LatticeArc(
+            int(out["tend"][i]), int(out["u"][i]), int(out["dst"][i]),
+            int(out["tid"][i]),
+            tuple(int(x) for x in words[i, :wcnt[i]]),
+            float(out["w"][i]), float(out["ac"][i])) for i in range(n)]
+        finals = {int(s): float(c) for s, c in
+                  zip(out["fin_states"], out["fin_costs"])}
+        return Lattice(T, arcs_out, self.graph.start, finals)
+
     def _build_lattice(self, loglikes, rec_arc, best_score, lattice_beam,
                        pseudo_finals=None):
         """Sparse forward-backward over recorded arcs, fully
@@ -1216,13 +1283,21 @@ class BeamSearchDecoder:
             arcs = flat[tt, pos]
         else:
             tt = arcs = np.zeros(0, np.int64)
+        states0, scores0, init_bp = self._init_frontier()
+
+        if T > 0:
+            nat = self._build_lattice_native(
+                tt, arcs, T, ll, best_score, lattice_beam,
+                pseudo_finals)
+            if nat is not None:
+                return nat
+
         if T > 0 and len(arcs):
             is_eps = g.ilabel[arcs] == 0
             eps_at = _bucket_pairs_by_time(
                 tt[is_eps] + 1, arcs[is_eps], T + 1)
             em_at = _bucket_pairs_by_time(tt[~is_eps], arcs[~is_eps], T)
         # time-0 eps arcs come from the host init closure
-        states0, scores0, init_bp = self._init_frontier()
         eps_at[0] = np.unique(np.concatenate(
             [eps_at[0],
              np.asarray(sorted(init_bp.values()), np.int64)]))

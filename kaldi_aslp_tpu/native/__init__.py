@@ -34,7 +34,8 @@ class ArkEntryStruct(ctypes.Structure):
 def _build() -> Optional[str]:
     here = os.path.dirname(__file__)
     srcs = [os.path.join(here, f)
-            for f in ("ark_scan.cc", "batch_pack.cc", "fst_compose.cc")]
+            for f in ("ark_scan.cc", "batch_pack.cc", "fst_compose.cc",
+                      "lattice_build.cc")]
     cache = os.path.join(
         os.path.expanduser("~"), ".cache", "kaldi_aslp_tpu"
     )
@@ -100,6 +101,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, PI, PI, PI, PF, PI, PF]
             lib.fst_compose_free.restype = None
             lib.fst_compose_free.argtypes = [ctypes.c_void_p]
+            PD = ctypes.POINTER(ctypes.c_double)
+            lib.lattice_build.restype = ctypes.c_int64
+            lib.lattice_build.argtypes = [
+                PI, PI, PI, PI, PF, ctypes.c_int64,          # graph
+                PF, ctypes.c_int64, ctypes.c_int64, PI,       # ll/T/P/lut
+                ctypes.c_double,                              # scale
+                P64, P64, ctypes.c_int64,                     # eps recs
+                P64, P64, ctypes.c_int64,                     # em recs
+                P64, PD, ctypes.c_int64,                      # init
+                P64, PD, ctypes.c_int64,                      # finals
+                ctypes.c_int64, PF,                           # fold/g_final
+                ctypes.c_double, ctypes.c_double,             # best/beam
+                ctypes.c_int64, ctypes.c_int64,               # rounds/wmax
+                ctypes.c_int64, PI, P64, P64, PI, PD, PD, PI, PI,
+                ctypes.c_int64, P64, PD, P64,                 # finals out
+            ]
             _LIB = lib
     return _LIB
 
@@ -383,3 +400,113 @@ def fst_compose(f1, f2):
     for s in np.nonzero(np.isfinite(fin[:ns.value]))[0]:
         out.set_final(int(s), float(fin[s]))
     return out
+
+
+def lattice_build(g_src, g_dst, g_ilabel, g_olabel, g_weight, n_states,
+                  ll, tid_pdf, scale,
+                  eps_t, eps_arc, em_t, em_arc,
+                  init_states, init_scores,
+                  final_states, final_costs, fold_suffix, g_final,
+                  best_score, lattice_beam, rounds, wmax):
+    """Native host lattice build (forward-backward prune + eps folding
+    over device-pruned records; see lattice_build.cc).  Returns a dict
+    of arrays or None when no native library is available — the caller
+    (decoder/beam.py:_build_lattice) falls back to the numpy path."""
+    lib = get_lib()
+    if lib is None:  # pragma: no cover - toolchain present in CI
+        return None
+    PI = ctypes.POINTER(ctypes.c_int32)
+    PF = ctypes.POINTER(ctypes.c_float)
+    PD = ctypes.POINTER(ctypes.c_double)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+
+    def i32(a):
+        return np.ascontiguousarray(a, np.int32)
+
+    def i64(a):
+        return np.ascontiguousarray(a, np.int64)
+
+    def f32(a):
+        return np.ascontiguousarray(a, np.float32)
+
+    def f64(a):
+        return np.ascontiguousarray(a, np.float64)
+
+    g_src, g_dst = i32(g_src), i32(g_dst)
+    g_ilabel, g_olabel = i32(g_ilabel), i32(g_olabel)
+    g_weight, ll, g_final = f32(g_weight), f32(ll), f32(g_final)
+    tid_pdf = i32(tid_pdf)
+    eps_t, eps_arc = i64(eps_t), i64(eps_arc)
+    em_t, em_arc = i64(em_t), i64(em_arc)
+    init_states, init_scores = i64(init_states), f64(init_scores)
+    final_states, final_costs = i64(final_states), f64(final_costs)
+    T = int(ll.shape[0]) if ll.ndim == 2 else 0
+    P = int(ll.shape[1]) if ll.ndim == 2 else 1
+    wmax = int(max(wmax, 1))
+
+    cap = max(int(len(em_t)) * 2 + 64, 1024)
+    fin_cap = max(int(len(final_states)) + int(n_states) // 64 + 1024,
+                  2048)
+    while True:
+        tend = np.empty(cap, np.int32)
+        u = np.empty(cap, np.int64)
+        dst = np.empty(cap, np.int64)
+        tid = np.empty(cap, np.int32)
+        w = np.empty(cap, np.float64)
+        ac = np.empty(cap, np.float64)
+        words = np.empty(cap * wmax, np.int32)
+        wcnt = np.empty(cap, np.int32)
+        fin_s = np.empty(fin_cap, np.int64)
+        fin_c = np.empty(fin_cap, np.float64)
+        fin_n = np.zeros(1, np.int64)
+        r = lib.lattice_build(
+            g_src.ctypes.data_as(PI), g_dst.ctypes.data_as(PI),
+            g_ilabel.ctypes.data_as(PI), g_olabel.ctypes.data_as(PI),
+            g_weight.ctypes.data_as(PF), ctypes.c_int64(int(n_states)),
+            ll.ctypes.data_as(PF), ctypes.c_int64(T), ctypes.c_int64(P),
+            tid_pdf.ctypes.data_as(PI), ctypes.c_double(float(scale)),
+            eps_t.ctypes.data_as(P64), eps_arc.ctypes.data_as(P64),
+            ctypes.c_int64(len(eps_t)),
+            em_t.ctypes.data_as(P64), em_arc.ctypes.data_as(P64),
+            ctypes.c_int64(len(em_t)),
+            init_states.ctypes.data_as(P64),
+            init_scores.ctypes.data_as(PD),
+            ctypes.c_int64(len(init_states)),
+            final_states.ctypes.data_as(P64),
+            final_costs.ctypes.data_as(PD),
+            ctypes.c_int64(len(final_states)),
+            ctypes.c_int64(1 if fold_suffix else 0),
+            g_final.ctypes.data_as(PF),
+            ctypes.c_double(float(best_score)),
+            ctypes.c_double(float(lattice_beam)),
+            ctypes.c_int64(int(rounds)), ctypes.c_int64(wmax),
+            ctypes.c_int64(cap),
+            tend.ctypes.data_as(PI), u.ctypes.data_as(P64),
+            dst.ctypes.data_as(P64), tid.ctypes.data_as(PI),
+            w.ctypes.data_as(PD), ac.ctypes.data_as(PD),
+            words.ctypes.data_as(PI), wcnt.ctypes.data_as(PI),
+            ctypes.c_int64(fin_cap), fin_s.ctypes.data_as(P64),
+            fin_c.ctypes.data_as(PD), fin_n.ctypes.data_as(P64),
+        )
+        r = int(r)
+        if r == -1000000002:
+            raise RuntimeError(
+                "eps word chain exceeds declared eps diameter "
+                f"({wmax}); graph eps structure is inconsistent")
+        if r <= -1000000000:
+            return None          # unexpected native error: fall back
+        if r == -1000000003 or int(fin_n[0]) > fin_cap:
+            fin_cap = max(int(fin_n[0]), 2 * fin_cap)
+            continue
+        if r < 0:
+            cap = -r
+            continue
+        n = r
+        nf = int(fin_n[0])
+        return {
+            "tend": tend[:n], "u": u[:n], "dst": dst[:n],
+            "tid": tid[:n], "w": w[:n], "ac": ac[:n],
+            "words": words[:n * wmax].reshape(n, wmax),
+            "wcnt": wcnt[:n],
+            "fin_states": fin_s[:nf], "fin_costs": fin_c[:nf],
+        }

@@ -179,7 +179,7 @@ def run(root: str = "exp_hard", scale: str = "full",
             max_iters=sc.dnn_iters, learn_rate=0.2,
             acoustic_scale=0.1,
             lmwt_sweep=" ".join(str(x) for x in lmwt_range),
-            decode_beam=16.0))
+            decode_beam=32.0))
         st = hyb.run(train_feats, train_texts, test_feats,
                      corpus["test_texts"], grammar=G,
                      work_dir=os.path.join(root, "dnn"),
@@ -206,7 +206,7 @@ def run(root: str = "exp_hard", scale: str = "full",
             num_layers=sc.ctc_layers, learn_rate=0.06,
             keep_lr_iters=sc.ctc_iters - 8, lfr_skip=3,
             max_iters=sc.ctc_iters, num_streams=16,
-            acoustic_scale=0.9, decode_beam=16.0))
+            acoustic_scale=0.9, decode_beam=32.0))
         if ctc.opts.max_iters <= 8:
             ctc.opts.keep_lr_iters = 0
         st = ctc.run(train_feats, train_texts, test_feats,

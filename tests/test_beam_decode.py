@@ -202,6 +202,14 @@ def test_batched_beam_matches_single():
         assert w1 == w2
         np.testing.assert_array_equal(a1, a2)
         assert s1 == pytest.approx(s2, abs=1e-3)
+    # device-resident scores (the AM's native output) must work too —
+    # decode_batch pads/stacks on device, no host round trip
+    import jax.numpy as jnp
+    got_dev = batched.decode_batch([jnp.asarray(x) for x in lls])
+    for (w1, a1, s1), (w2, a2, s2) in zip(got_dev, expected):
+        assert w1 == w2
+        np.testing.assert_array_equal(a1, a2)
+        assert s1 == pytest.approx(s2, abs=1e-3)
 
 
 def test_decode_many_matches_single():
@@ -573,3 +581,53 @@ def test_record_prune_matches_numpy_mirror():
             Vnew[src] = max(Vnew.get(src, B.NEG_INF), v)
         V = Vnew
         assert dev_kept[t] == ref_kept, (t, dev_kept[t], ref_kept)
+
+
+def test_native_lattice_build_matches_numpy(monkeypatch):
+    """The C++ host lattice builder (native/lattice_build.cc) must
+    produce the same pruned arc set, scores, word strings and finals as
+    the numpy reference path."""
+    import jax.numpy as jnp
+    from kaldi_aslp_tpu import native as native_mod
+
+    if native_mod.get_lib() is None:
+        pytest.skip("no native toolchain")
+    W, P, NP = 160, 2, 32
+    g, pdf, lut = synth_hclg(W, P, NP, seed=21)
+    dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                            acoustic_scale=1.0, beam=8.0,
+                            max_active=128, chunk=16)
+    rng = np.random.RandomState(7)
+    T = 95
+    ll = rng.uniform(-9.0, -6.0, size=(T, NP)).astype(np.float32)
+    ll[np.arange(T), rng.randint(0, NP, T)] = -0.5
+
+    states0, scores0, _ = dec._init_frontier()
+    st = jnp.asarray(states0)
+    sc = jnp.asarray(scores0)
+    ll_dev, _ = dec._pad_device(ll, T)
+    planes = []
+    for t0 in range(0, T, dec.chunk):
+        (st, sc), outs = dec._scan_chunk(ll_dev, t0, T, st, sc, True, 0)
+        planes.append(outs[3:13])
+    k, best, is_final = dec._best_final(np.asarray(st), np.asarray(sc))
+    pseudo = None if is_final else (np.asarray(st), np.asarray(sc))
+    rec = dec._prune_records_device(planes, ll_dev, T, best, 7.0, pseudo)
+
+    lat_native = dec._build_lattice(ll, rec, best, 7.0,
+                                    pseudo_finals=pseudo)
+    # force the numpy path
+    monkeypatch.setattr(native_mod, "lattice_build",
+                        lambda *a, **kw: None)
+    lat_np = dec._build_lattice(ll, rec, best, 7.0, pseudo_finals=pseudo)
+
+    def key(a):
+        return (a.t, a.src, a.dst, a.tid, a.words,
+                round(a.graph_cost, 9), round(a.acoustic_cost, 9))
+
+    sn = sorted(key(a) for a in lat_native.arcs)
+    sp = sorted(key(a) for a in lat_np.arcs)
+    assert len(sn) == len(sp) and sn == sp
+    assert set(lat_native.final_costs) == set(lat_np.final_costs)
+    for s, c in lat_np.final_costs.items():
+        assert lat_native.final_costs[s] == pytest.approx(c, abs=1e-9)
