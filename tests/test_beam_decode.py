@@ -631,3 +631,22 @@ def test_native_lattice_build_matches_numpy(monkeypatch):
     assert set(lat_native.final_costs) == set(lat_np.final_costs)
     for s, c in lat_np.final_costs.items():
         assert lat_native.final_costs[s] == pytest.approx(c, abs=1e-9)
+
+
+def test_decode_empty_frontier_raises():
+    """A dead-end graph (no arcs from the terminal state) must raise
+    once every token dies — checked post-fetch now that best-final
+    selection is device-side."""
+    g = PackedGraph(
+        src=np.array([0], np.int32), dst=np.array([1], np.int32),
+        ilabel=np.array([1], np.int32), olabel=np.array([1], np.int32),
+        weight=np.array([0.5], np.float32),
+        final=np.array([np.inf, 0.0], np.float32),
+        start=0, num_states=2, eps_diameter=0)
+    lut = np.array([0, 0], np.int32)
+    dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                            acoustic_scale=1.0, beam=10.0,
+                            max_active=4, arc_budget=16, chunk=4)
+    ll = np.full((3, 1), -1.0, np.float32)
+    with pytest.raises(RuntimeError):
+        dec.decode(ll)
