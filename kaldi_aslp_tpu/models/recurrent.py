@@ -455,11 +455,11 @@ class _Bidirectional(Component):
         mxu_bf16 = not os.environ.get("KALDI_ASLP_LSTM_MXU_FP32")
         interpret = jax.default_backend() == "cpu"
         # x-fused core (input projection in-kernel, weight grads
-        # accumulated in VMEM — no [T,S,4C] xg/dxg HBM streams) when
-        # the input is lane-aligned; the first layer of a typical
-        # stack (feature dim 40-120) stays on the xg path, where the
-        # input einsum is a few % of the layer's FLOPs
-        if (x.shape[-1] % 128 == 0 and mxu_bf16
+        # accumulated in VMEM — no [T,S,4C] xg/dxg HBM streams).
+        # Narrow inputs (a stack's first layer sees the 40-120-dim
+        # feature stream) are zero-padded to lane width inside the
+        # wrapper — still ~16x less HBM traffic than the xg fallback.
+        if (mxu_bf16
                 and not os.environ.get("KALDI_ASLP_LSTM_NO_XFUSE")):
             ysf, ysb, fc, fr = bilstmp_xfused_train_core(
                 x, mask, pf["w_gifo_x"], pb["w_gifo_x"],

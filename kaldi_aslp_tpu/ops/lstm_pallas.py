@@ -1578,13 +1578,27 @@ def bilstmp_xfused_train_core(x, mask, wf_gifo_x, wb_gifo_x,
     the input projection in-kernel, and accumulates ALL weight
     gradients in VMEM (see the section comment above).  Weight layout
     matches the reference component (w_gifo_x [4C, D], w_gifo_r
-    [4C, P], w_r_m [P, C]); requires D % 128 == 0 (lane alignment) —
-    callers fall back to bilstmp_train_core otherwise."""
+    [4C, P], w_r_m [P, C]).
+
+    The kernel wants lane-aligned inputs (D % 128 == 0); narrower
+    inputs (a stack's first layer sees the 40-120-dim feature stream)
+    are ZERO-PADDED to the next lane multiple here, OUTSIDE the
+    custom-VJP core, so autodiff slices dx / the dwx pad rows back out
+    exactly.  Padding is free next to the alternative: the xg fallback
+    streams [T,S,4C] projections (+ cotangents) through HBM — ~2 GB a
+    step for the flagship's first layer — where the padded x stream is
+    ~26 MB."""
     S, T, D = x.shape
-    assert D % 128 == 0
+    x = x.astype(jnp.bfloat16)
+    padD = (-D) % 128
+    if padD:
+        x = jnp.concatenate(
+            [x, jnp.zeros((S, T, padD), x.dtype)], axis=-1)
+        zrow = jnp.zeros((wf_gifo_x.shape[0], padD), wf_gifo_x.dtype)
+        wf_gifo_x = jnp.concatenate([wf_gifo_x, zrow], axis=1)
+        wb_gifo_x = jnp.concatenate([wb_gifo_x, zrow], axis=1)
     blk = min(S, S_BLK)
     pad = (-S) % blk
-    x = x.astype(jnp.bfloat16)
     if pad:
         def padS(a):
             return jnp.concatenate(
