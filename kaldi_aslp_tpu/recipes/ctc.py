@@ -49,7 +49,17 @@ class CtcRecipeOptions(Config):
     learn_rate: float = 0.01
     momentum: float = 0.9
     max_iters: int = 12
-    keep_lr_iters: int = 0   # suppress newbob halving for N iters
+    keep_lr_iters: int = 0   # static hold (legacy; auto_saddle replaces)
+    # automatic blank-saddle crossing (train/saddle.py): hold the lr
+    # while greedy output is all-blank, escalate it if the saddle does
+    # not yield, hand control to newbob after crossing.  Replaces
+    # per-corpus keep_lr_iters / lr hand-tuning — every inventory size
+    # runs the same policy.
+    auto_saddle: bool = True
+    saddle_blank_thresh: float = 0.90
+    saddle_escalate_iters: int = 4
+    saddle_lr_factor: float = 2.0
+    saddle_max_lr: float = 0.8
     num_streams: int = 8
     acoustic_scale: float = 1.0
     # Eesen-style decode: divide posteriors by their training-set
@@ -132,6 +142,31 @@ class CtcRecipe:
 
         tr_batches = batches(tr_utts)
         cv_batches = batches(cv_utts)
+
+        from kaldi_aslp_tpu.train.saddle import SaddleDetector, \
+            SaddleOptions
+        saddle = SaddleDetector(SaddleOptions(
+            enabled=opts.auto_saddle,
+            blank_thresh=opts.saddle_blank_thresh,
+            escalate_iters=opts.saddle_escalate_iters,
+            lr_factor=opts.saddle_lr_factor,
+            max_lr=opts.saddle_max_lr))
+
+        @jax.jit
+        def _blank_counts(p, feats, mask):
+            y, _ = net.apply(p, feats, train=False, mask=mask)
+            blanks = jnp.sum((y.argmax(-1) == 0) * mask)
+            return jnp.stack([blanks, jnp.sum(mask)])
+
+        probe = cv_batches[: 2]
+
+        def blank_fraction(p) -> float:
+            tot = np.zeros(2)
+            for b in probe:
+                tot += np.asarray(_blank_counts(
+                    p, jnp.asarray(b.feats), jnp.asarray(b.frame_mask)))
+            return float(tot[0] / max(tot[1], 1.0))
+
         best = params
         while not sched.done:
             params, velocity, rep = trainer.train_epoch(
@@ -139,11 +174,14 @@ class CtcRecipe:
                 cache=cache,
             )
             cv = trainer.evaluate(params, cv_batches)
-            accepted = sched.report(cv.avg_loss)
+            hold = saddle.update(blank_fraction(params), cv.avg_loss,
+                                 sched) if opts.auto_saddle else False
+            accepted = sched.report(cv.avg_loss, hold=hold)
             logger.info("iter %d lr %.5f tr %.4f cv %.4f %s",
                         sched.state.iter, sched.learn_rate,
                         rep.avg_loss, cv.avg_loss,
-                        "ACCEPT" if accepted else "REJECT")
+                        "HOLD" if hold else
+                        ("ACCEPT" if accepted else "REJECT"))
             if accepted:
                 best = params
 

@@ -50,6 +50,11 @@ class HardCorpusOptions(Config):
     #                                  single-phone mutations of others
     num_train_speakers: int = 32
     num_test_speakers: int = 8
+    num_dev_speakers: int = 4        # third DISJOINT speaker set: all
+    #                                  tuning (LMWT, beams, schedules)
+    #                                  selects on dev, test is reported
+    #                                  once (the egs/timit dev/test
+    #                                  discipline)
     snr_lo_db: float = 5.0           # swept per-utterance SNR range
     snr_hi_db: float = 20.0
     warp_lo: float = 0.88            # per-speaker vocal-tract warp
@@ -420,13 +425,20 @@ def build_corpus(opts: Optional[HardCorpusOptions] = None,
                  lexicon_text: Optional[str] = None,
                  phone_params: Optional[Dict[str, Tuple]] = None,
                  use_pitch: bool = False,
-                 harmonic_source: bool = False):
+                 harmonic_source: bool = False,
+                 num_dev: int = 0):
     """Full corpus build.  Returns a dict with lexicon text, Lang,
-    train/test feats + texts + utt2spk, and the held-out-pool ARPA.
+    train/dev/test feats + texts + utt2spk, and the held-out-pool ARPA.
 
     ``lexicon_text``/``phone_params`` swap in a custom phone inventory
     (recipes/hkust_synth.py's tonal pinyin-like phones) while keeping
-    the speaker/noise/LM protocol identical."""
+    the speaker/noise/LM protocol identical.
+
+    ``num_dev`` > 0 synthesizes a third utterance set over a THIRD
+    disjoint speaker pool (opts.num_dev_speakers): recipes tune LMWT /
+    beams / schedules on dev and report test once (the dev/test
+    discipline of egs/timit/s5, whose RESULTS publishes separate dev
+    and test rows)."""
     from kaldi_aslp_tpu.fst import Lang, Lexicon
 
     opts = opts or HardCorpusOptions()
@@ -462,6 +474,21 @@ def build_corpus(opts: Optional[HardCorpusOptions] = None,
     train_texts = {f"tr{i:05d}": s for i, s in enumerate(train_sents)}
     test_texts = {f"te{i:05d}": s for i, s in enumerate(test_sents)}
 
+    dev_feats: Dict[str, np.ndarray] = {}
+    dev_texts: Dict[str, List[str]] = {}
+    dev_u2s: Dict[str, str] = {}
+    if num_dev > 0:
+        dev_sents = model.sample(num_dev, seed=opts.seed + 4)
+        dev_spk = make_speakers(opts.num_dev_speakers, opts,
+                                seed=opts.seed + 15)
+        dev_waves, dev_u2s = synthesize_set(
+            lex.prons, dev_sents, dev_spk, opts, seed=opts.seed + 50,
+            prefix="dv", phone_params=phone_params,
+            harmonic_source=harmonic_source)
+        dev_feats = extract_mfcc_deltas_cmvn(dev_waves, dev_u2s,
+                                             use_pitch=use_pitch)
+        dev_texts = {f"dv{i:05d}": s for i, s in enumerate(dev_sents)}
+
     arpa = pruned_bigram_arpa(lm_pool, words)
     return {
         "opts": opts,
@@ -475,6 +502,9 @@ def build_corpus(opts: Optional[HardCorpusOptions] = None,
         "test_feats": test_feats,
         "test_texts": test_texts,
         "test_utt2spk": test_u2s,
+        "dev_feats": dev_feats,
+        "dev_texts": dev_texts,
+        "dev_utt2spk": dev_u2s,
         "arpa": arpa,
         "train_audio_s": sum(len(w) for w in train_waves.values())
         / SAMP_FREQ,

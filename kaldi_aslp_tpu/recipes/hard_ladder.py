@@ -13,6 +13,12 @@ floor is far away (mono lands tens of %, the best system mid-range) —
 a pruning or acoustic-model regression moves these numbers, unlike the
 saturated yesno/ls_synth tasks (round-2 verdict, missing #1).
 
+Tuning discipline (round 4): the corpus has a THIRD disjoint speaker
+set (dev); every swept quantity (LMWT per stage) selects on dev and
+the test set is scored once at the selection — the egs/timit/s5
+dev/test protocol.  Fixed constants (GMM_BEAM, NN decode beam, the
+saddle policy) are shared across scales, not per-run choices.
+
 Run: python -m kaldi_aslp_tpu.recipes.hard_ladder [workdir] [--small]
 Stages can be selected: --stages=mono,tri,dnn,ctc
 """
@@ -40,7 +46,8 @@ from kaldi_aslp_tpu.gmm.deltas import (
 from kaldi_aslp_tpu.decoder import PackedGraph
 from kaldi_aslp_tpu.recipes.hard_corpus import HardCorpusOptions, \
     build_corpus
-from kaldi_aslp_tpu.recipes.score_util import decode_wer_beam
+from kaldi_aslp_tpu.recipes.score_util import decode_wer_beam, \
+    decode_wer_dev_test
 
 logger = get_logger("hard_ladder")
 
@@ -63,8 +70,9 @@ class _Scale:
         if name == "small":     # suite-sized: minutes on CPU
             self.corpus = HardCorpusOptions(
                 num_words=100, num_train_speakers=8,
-                num_test_speakers=3)
+                num_test_speakers=3, num_dev_speakers=3)
             self.num_train, self.num_test, self.lm_mult = 60, 20, 8
+            self.num_dev = 12
             self.mono = MonoTrainOptions(
                 num_iters=8, totgauss=400, realign_iters="1 2 3 4 6")
             self.tri = DeltasTrainOptions(
@@ -75,8 +83,9 @@ class _Scale:
         elif name == "medium":
             self.corpus = HardCorpusOptions(
                 num_words=1000, num_train_speakers=24,
-                num_test_speakers=6)
+                num_test_speakers=6, num_dev_speakers=6)
             self.num_train, self.num_test, self.lm_mult = 500, 100, 10
+            self.num_dev = 60
             self.mono = MonoTrainOptions(
                 num_iters=12, totgauss=700,
                 realign_iters="1 2 3 4 5 6 8 10")
@@ -84,12 +93,13 @@ class _Scale:
                 num_iters=10, totgauss=2500, num_leaves=250,
                 realign_iters="2 4 6 8", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 256, 3, 12
-            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 160, 3, 45
+            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 160, 3, 60
         else:                   # full
             self.corpus = HardCorpusOptions(
                 num_words=5000, num_train_speakers=32,
-                num_test_speakers=8)
+                num_test_speakers=8, num_dev_speakers=8)
             self.num_train, self.num_test, self.lm_mult = 1600, 200, 12
+            self.num_dev = 100
             self.mono = MonoTrainOptions(
                 num_iters=14, totgauss=1000,
                 realign_iters="1 2 3 4 5 6 8 10 12")
@@ -97,7 +107,7 @@ class _Scale:
                 num_iters=12, totgauss=4000, num_leaves=400,
                 realign_iters="2 4 6 8 10", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 512, 4, 14
-            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 320, 3, 45
+            self.ctc_hidden, self.ctc_layers, self.ctc_iters = 320, 3, 60
 
 
 def run(root: str = "exp_hard", scale: str = "full",
@@ -113,40 +123,65 @@ def run(root: str = "exp_hard", scale: str = "full",
     if corpus is None:
         corpus = build_corpus(sc.corpus, num_train=sc.num_train,
                               num_test=sc.num_test,
+                              num_dev=sc.num_dev,
                               lm_pool_mult=sc.lm_mult)
     lang = corpus["lang"]
     G = arpa_to_fst(corpus["arpa"], lang.words)
     train_feats = corpus["train_feats"]
     train_texts = corpus["train_texts"]
     test_feats = corpus["test_feats"]
+    dev_feats = corpus.get("dev_feats") or {}
     refs = {u: [lang.words.id(w) for w in s]
             for u, s in corpus["test_texts"].items()}
-    logger.info("corpus: %d words, %.0f s train audio, %d/%d utts, "
-                "G %d states", len(corpus["words"]),
+    dev_refs = {u: [lang.words.id(w) for w in s]
+                for u, s in (corpus.get("dev_texts") or {}).items()}
+    logger.info("corpus: %d words, %.0f s train audio, %d/%d/%d utts "
+                "(train/dev/test), G %d states", len(corpus["words"]),
                 corpus["train_audio_s"], len(train_feats),
-                len(test_feats), G.num_states)
+                len(dev_feats), len(test_feats), G.num_states)
 
     results: Dict[str, float] = {}
+    dev_results: Dict[str, float] = {}
     lmwt_range = range(4, 16)
     artifacts: Dict[str, object] = {"corpus": corpus}
+
+    def score_stage(packed, lut, am_packed) -> tuple:
+        """GMM-stage scoring: LMWT selected on dev when a dev set
+        exists (on test otherwise — small-scale tests may inject
+        corpora without one).  Returns (test_wer, dev_wer, test_ll)."""
+        test_ll = {u: np.asarray(gmm_loglikes(jnp.asarray(f),
+                                              *am_packed))
+                   for u, f in test_feats.items()}
+        if dev_feats:
+            dev_ll = {u: np.asarray(gmm_loglikes(jnp.asarray(f),
+                                                 *am_packed))
+                      for u, f in dev_feats.items()}
+            wer, dev_wer, _ = decode_wer_dev_test(
+                packed, lut, dev_ll, dev_refs, test_ll, refs, 0.1,
+                lmwt_range, beam=GMM_BEAM)
+            return wer, dev_wer, test_ll
+        wer, _ = decode_wer_beam(packed, lut, test_ll, refs, 0.1,
+                                 lmwt_range, beam=GMM_BEAM)
+        return wer, float("nan"), test_ll
 
     # ---- stage 1: monophones (train_mono.sh) ----
     mono = MonophoneTrainer(lang, opts=sc.mono)
     am0, tm0 = mono.train(train_feats, train_texts)
     hclg0 = make_decode_graph(lang, G, tm0)
     lut0 = tm0.alignment_to_pdfs(np.arange(tm0.num_transition_ids + 1))
-    am0p = am0.pack()
-    test_ll0 = {u: np.asarray(gmm_loglikes(jnp.asarray(f), *am0p))
-                for u, f in test_feats.items()}
     packed0 = PackedGraph.from_fst(hclg0)
+    if "mono" in stages:
+        wer, dev_wer, test_ll0 = score_stage(packed0, lut0, am0.pack())
+        results["mono"] = wer
+        dev_results["mono"] = dev_wer
+        logger.info("mono WER %.2f (dev %.2f; reference role: egs/rm "
+                    "mono 8.74%%, RESULTS:6)", wer, dev_wer)
+    else:
+        am0p = am0.pack()
+        test_ll0 = {u: np.asarray(gmm_loglikes(jnp.asarray(f), *am0p))
+                    for u, f in test_feats.items()}
     artifacts.update(packed0=packed0, lut0=lut0, test_ll0=test_ll0,
                      refs=refs)
-    if "mono" in stages:
-        wer, _ = decode_wer_beam(packed0, lut0, test_ll0, refs, 0.1,
-                                 lmwt_range, beam=GMM_BEAM)
-        results["mono"] = wer
-        logger.info("mono WER %.2f (reference role: egs/rm mono "
-                    "8.74%%, RESULTS:6)", wer)
 
     alis0 = mono.align(am0, train_feats, train_texts)
 
@@ -156,15 +191,12 @@ def run(root: str = "exp_hard", scale: str = "full",
     hclg1, tm1d = make_cd_decode_graph(lang, G, tri)
     lut1 = tm1d.alignment_to_pdfs(np.arange(tm1d.num_transition_ids + 1))
     if "tri" in stages:
-        am1p = am1.pack()
-        test_ll1 = {u: np.asarray(gmm_loglikes(jnp.asarray(f), *am1p))
-                    for u, f in test_feats.items()}
-        wer, _ = decode_wer_beam(PackedGraph.from_fst(hclg1), lut1,
-                                 test_ll1, refs, 0.1, lmwt_range,
-                                 beam=GMM_BEAM)
+        wer, dev_wer, _ = score_stage(PackedGraph.from_fst(hclg1),
+                                      lut1, am1.pack())
         results["tri"] = wer
-        logger.info("tri WER %.2f (reference role: egs/rm tri1 "
-                    "3.26%%, RESULTS:9)", wer)
+        dev_results["tri"] = dev_wer
+        logger.info("tri WER %.2f (dev %.2f; reference role: egs/rm "
+                    "tri1 3.26%%, RESULTS:9)", wer, dev_wer)
 
     # ---- stage 3: hybrid DNN on the TRIPHONE alignments (run_dnn.sh
     # on exp/tri ali) ----
@@ -183,8 +215,11 @@ def run(root: str = "exp_hard", scale: str = "full",
         st = hyb.run(train_feats, train_texts, test_feats,
                      corpus["test_texts"], grammar=G,
                      work_dir=os.path.join(root, "dnn"),
-                     bootstrap=(pdf_targets, tm1.num_pdfs, hclg1, lut1))
+                     bootstrap=(pdf_targets, tm1.num_pdfs, hclg1, lut1),
+                     dev_feats=dev_feats or None,
+                     dev_texts=corpus.get("dev_texts") or None)
         results["dnn"] = st.wer
+        dev_results["dnn"] = getattr(hyb, "last_dev_wer", float("nan"))
         logger.info("dnn WER %.2f (reference role: run_dnn.sh on tri "
                     "alignments)", st.wer)
 
@@ -195,20 +230,20 @@ def run(root: str = "exp_hard", scale: str = "full",
         # CTC spends ~700-1100 SGD steps on the blank-collapse saddle
         # before label peaks emerge (measured: an 8-utt overfit probe
         # sits at 0 greedy phones for ~700 steps, then reaches 29/29 by
-        # step 1100).  The schedule therefore holds the lr flat
-        # (keep_lr_iters) long enough to cross the saddle — newbob's
-        # default halving terminates mid-saddle at an all-blank model
-        # (the round-3 97%-deletion probe).  Low frame rate (lfr 3)
-        # shortens the alignment lattice the same way the reference's
+        # step 1100).  The saddle detector (train/saddle.py) holds the
+        # lr while greedy output is all-blank and escalates it if the
+        # saddle does not yield — newbob's default halving terminates
+        # mid-saddle at an all-blank model (the round-3 97%-deletion
+        # probe).  Same policy as recipes/hkust_synth.py (no per-corpus
+        # keep_lr_iters/lr tuning).  Low frame rate (lfr 3) shortens
+        # the alignment lattice the same way the reference's
         # --skip-width does.
         ctc = CtcRecipe(lang, CtcRecipeOptions(
             model_type="blstm", hidden_dim=sc.ctc_hidden,
             num_layers=sc.ctc_layers, learn_rate=0.06,
-            keep_lr_iters=sc.ctc_iters - 8, lfr_skip=3,
+            auto_saddle=True, lfr_skip=3,
             max_iters=sc.ctc_iters, num_streams=16,
             acoustic_scale=0.9, decode_beam=32.0))
-        if ctc.opts.max_iters <= 8:
-            ctc.opts.keep_lr_iters = 0
         st = ctc.run(train_feats, train_texts, test_feats,
                      corpus["test_texts"], grammar=G,
                      work_dir=os.path.join(root, "ctc"))
@@ -217,14 +252,20 @@ def run(root: str = "exp_hard", scale: str = "full",
                     "role: aslp_scripts/ctc + egs/hkust DNN<LSTM "
                     "ordering)", st.wer, ctc.greedy_per)
 
-    logger.info("==== WER ladder (hard synthetic corpus, scale=%s) ====",
-                scale)
+    logger.info("==== WER ladder (hard synthetic corpus, scale=%s; "
+                "LMWT tuned on dev, test reported once) ====", scale)
     for stage, wer in results.items():
-        logger.info("  %-5s %6.2f%%", stage, wer)
+        logger.info("  %-5s test %6.2f%%  dev %6.2f%%", stage, wer,
+                    dev_results.get(stage, float("nan")))
     logger.info("total %.0fs", time.time() - t_start)
     print("WER_LADDER " + " ".join(f"{k}={v:.2f}"
                                    for k, v in results.items()))
+    if dev_results:
+        print("WER_LADDER_DEV " + " ".join(
+            f"{k}={v:.2f}" for k, v in dev_results.items()
+            if v == v))
     run.artifacts = artifacts   # for sensitivity probes / tests
+    run.dev_results = dev_results
     return results
 
 

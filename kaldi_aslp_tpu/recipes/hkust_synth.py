@@ -108,10 +108,13 @@ def make_pinyin_lexicon(num_words: int, seed: int = 4321,
 
 class _Scale:
     def __init__(self, name: str):
-        # lr 0.2: the syllable inventory (~160-200 units vs the
-        # ladder's 40 phones) deepens CTC's all-blank saddle; an 8-utt
-        # overfit probe at lr 0.06 was still blank after 400 steps
-        # while lr 0.2 crossed at ~500 and reached 12/12 greedy.
+        # Schedule policy is the SAME as recipes/hard_ladder.py: base
+        # lr 0.06 with the automatic saddle detector (train/saddle.py).
+        # The ~160-200-unit syllable inventory deepens CTC's all-blank
+        # saddle (measured round 3: lr 0.06 never crossed — plateau
+        # 0.73, SER 100%; lr 0.2 crossed at ~500 steps) — the detector
+        # discovers that by escalating the held lr instead of a human
+        # re-tuning keep_lr_iters per corpus.
         if name == "small":
             self.num_words = 120
             self.corpus = HardCorpusOptions(
@@ -120,7 +123,7 @@ class _Scale:
             self.num_train, self.num_test, self.lm_mult = 60, 20, 8
             self.hidden, self.layers, self.iters = 96, 2, 220
             self.bind_thresh = 6
-            self.learn_rate = 0.2
+            self.learn_rate = 0.06
         else:                   # medium
             self.num_words = 1000
             self.corpus = HardCorpusOptions(
@@ -129,7 +132,7 @@ class _Scale:
             self.num_train, self.num_test, self.lm_mult = 500, 100, 10
             self.hidden, self.layers, self.iters = 160, 3, 80
             self.bind_thresh = 12
-            self.learn_rate = 0.2
+            self.learn_rate = 0.06
 
 
 def run(root: str = "exp_hkust_synth", scale: str = "medium",
@@ -183,7 +186,7 @@ def run(root: str = "exp_hkust_synth", scale: str = "medium",
     ctc = CtcRecipe(syl_lang, CtcRecipeOptions(
         model_type="blstm", hidden_dim=sc.hidden,
         num_layers=sc.layers, learn_rate=sc.learn_rate,
-        keep_lr_iters=max(sc.iters - 8, 0), lfr_skip=3,
+        auto_saddle=True, lfr_skip=3,
         max_iters=sc.iters, num_streams=16,
         acoustic_scale=0.9, decode_beam=16.0))
     st = ctc.run(corpus["train_feats"], corpus["train_texts"],

@@ -92,12 +92,20 @@ class HybridRecipe:
         grammar: Optional[Fst] = None,
         work_dir: str = "exp_hybrid",
         bootstrap: Optional[tuple] = None,
+        dev_feats: Optional[Dict[str, np.ndarray]] = None,
+        dev_texts: Optional[Dict[str, List[str]]] = None,
     ) -> ErrorStats:
         """``bootstrap`` (pdf_targets, num_pdfs, hclg, lut) injects
         externally-produced alignments + decode graph — the reference
         trains its hybrid DNN on TRIPHONE alignments and decodes over
         the triphone HCLG (run_dnn.sh on exp/tri* ali dirs), not on its
-        own mono bootstrap."""
+        own mono bootstrap.
+
+        ``dev_feats``/``dev_texts``: when given together with
+        ``lmwt_sweep``, the LMWT grid is swept on the DEV set and the
+        test set is scored once at the dev-selected LMWT (the
+        egs/timit/s5 dev/test discipline); without them the sweep
+        selects on test, which is what score_basic.sh itself does."""
         opts = self.opts
         hclg = lut = None
         if bootstrap is not None:
@@ -225,25 +233,41 @@ class HybridRecipe:
                     acoustic_scale=opts.acoustic_scale,
                     beam=opts.decode_beam,
                     max_active=opts.decode_max_active)
-            lats, refs = {}, {}
-            for u, feats in test_feats.items():
-                scores = nnet_forward(net, best, self._nn_feats(feats),
-                                      fwd_opts, prior)
-                if bdec is not None:
-                    _, _, _, lats[u] = bdec.decode_lattice(
-                        jnp.asarray(scores),
-                        lattice_beam=opts.lattice_beam)
-                else:
-                    lats[u] = generate_lattice(
-                        packed, scores, lut,
-                        acoustic_scale=opts.acoustic_scale,
-                        beam=opts.lattice_beam,
-                    )
-                refs[u] = [self.lang.words.id(w)
-                           for w in test_texts[u]]
+            def lat_set(feats_set, texts_set):
+                lats, refs = {}, {}
+                for u, feats in feats_set.items():
+                    scores = nnet_forward(net, best,
+                                          self._nn_feats(feats),
+                                          fwd_opts, prior)
+                    if bdec is not None:
+                        _, _, _, lats[u] = bdec.decode_lattice(
+                            jnp.asarray(scores),
+                            lattice_beam=opts.lattice_beam)
+                    else:
+                        lats[u] = generate_lattice(
+                            packed, scores, lut,
+                            acoustic_scale=opts.acoustic_scale,
+                            beam=opts.lattice_beam,
+                        )
+                    refs[u] = [self.lang.words.id(w)
+                               for w in texts_set[u]]
+                return lats, refs
+
+            lmwt_grid = [int(x) for x in opts.lmwt_sweep.split()]
+            lats, refs = lat_set(test_feats, test_texts)
+            if dev_feats:
+                dev_lats, dev_refs = lat_set(dev_feats, dev_texts)
+                dev_sweep = score_lmwt_sweep(dev_lats, dev_refs,
+                                             lmwt_range=lmwt_grid,
+                                             acoustic_scale_base=1.0)
+                best_lmwt = min(dev_sweep,
+                                key=lambda k: dev_sweep[k].wer)
+                self.last_dev_wer = dev_sweep[best_lmwt].wer
+                logger.info("dev-selected LMWT %d (dev WER %.2f)",
+                            best_lmwt, self.last_dev_wer)
+                lmwt_grid = [best_lmwt]
             sweep = score_lmwt_sweep(
-                lats, refs,
-                lmwt_range=[int(x) for x in opts.lmwt_sweep.split()],
+                lats, refs, lmwt_range=lmwt_grid,
                 acoustic_scale_base=1.0,
             )
             for lmwt, st in sweep.items():

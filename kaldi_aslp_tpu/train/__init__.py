@@ -9,6 +9,7 @@ from kaldi_aslp_tpu.train.newbob import (
     NewbobState,
 )
 from kaldi_aslp_tpu.train.trainer import FrameTrainer, CtcTrainer
+from kaldi_aslp_tpu.train.saddle import SaddleDetector, SaddleOptions
 from kaldi_aslp_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 from kaldi_aslp_tpu.train.pretrain import (
     insert_components,

@@ -66,11 +66,28 @@ class NewbobScheduler:
             f"nnet_iter{s.iter:02d}_lr{s.learn_rate:g}_cv{cv_loss:.4f}.knet",
         )
 
-    def report(self, cv_loss: float) -> bool:
+    def report(self, cv_loss: float, hold: bool = False) -> bool:
         """Report this epoch's CV loss; returns True if the epoch is
         ACCEPTED (model should become the new best), False if rejected
-        (caller reloads the previous best — train_scheduler.sh:134-148)."""
+        (caller reloads the previous best — train_scheduler.sh:134-148).
+
+        ``hold=True`` is the dynamic form of keep_lr_iters: the epoch
+        is force-accepted, no halving-state transitions happen, and the
+        improvement baseline tracks the CURRENT loss (so newbob's
+        rel-impr restarts cleanly when the caller releases the hold).
+        Used by the CTC saddle detector (train/saddle.py): while greedy
+        output is still (near-)all-blank, rejecting an epoch or halving
+        the lr strands the model on the blank-collapse saddle — the
+        generic-robustness role of the reference's CTC loss-check/skip
+        machinery (src/aslp-nnet/ctc-loss.cc:229-344)."""
         s = self.state
+        if hold:
+            s.best_cv_loss = cv_loss
+            s.iter += 1
+            if s.iter >= self.opts.max_iters:
+                s.done = True
+            self.save()
+            return True
         accepted = cv_loss < s.best_cv_loss
         rel_impr = ((s.best_cv_loss - cv_loss)
                     / abs(s.best_cv_loss)
@@ -91,6 +108,12 @@ class NewbobScheduler:
                 s.learn_rate *= self.opts.halving_factor
         self.save()
         return accepted
+
+    def set_learn_rate(self, lr: float) -> None:
+        """Externally adjust the lr (saddle-escalation); persisted so a
+        resumed run keeps the escalated rate."""
+        self.state.learn_rate = lr
+        self.save()
 
     @property
     def done(self) -> bool:

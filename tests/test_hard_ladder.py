@@ -71,6 +71,22 @@ def test_lm_pool_is_heldout():
     assert not (tr_spk & te_spk)
 
 
+def test_dev_split_three_disjoint_speaker_sets():
+    """num_dev > 0 emits a dev set with its OWN speaker pool: tuning on
+    dev cannot leak test speakers (egs/timit dev/test discipline)."""
+    opts = HardCorpusOptions(num_words=40, num_train_speakers=4,
+                             num_test_speakers=2, num_dev_speakers=2)
+    c = build_corpus(opts, num_train=6, num_test=3, num_dev=4,
+                     lm_pool_mult=2)
+    assert len(c["dev_feats"]) == 4 and len(c["dev_texts"]) == 4
+    tr = set(c["train_utt2spk"].values())
+    te = set(c["test_utt2spk"].values())
+    dv = set(c["dev_utt2spk"].values())
+    assert not (tr & te) and not (tr & dv) and not (te & dv)
+    # prefixes keep the three sets distinguishable in scoring logs
+    assert all(u.startswith("dv") for u in c["dev_feats"])
+
+
 @pytest.mark.slow
 def test_mono_stage_nonsaturated_and_pruning_sensitive():
     results = hard_ladder.run("/tmp/exp_hard_test", scale="small",
