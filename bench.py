@@ -126,6 +126,30 @@ def bench_train():
                                                        velocity)
 
 
+def measure_tunnel_h2d(mb: int = 8, reps: int = 3) -> float:
+    """Measured host→device wire rate (MB/s) for INCOMPRESSIBLE bytes,
+    quoted next to every corpus-fed pipeline number so a regression in
+    the framework separates from tunnel weather (CLAUDE.md rule; the
+    link measured 28-40 MB/s in round 2 and 5-15 in round 3 for the
+    same code).  Best-of-N: closest to link capacity, the denominator
+    the pipeline numbers are bound by.  Reference role: the fps
+    observability of aslp-nnet-train-simple.cc:246-249."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(7)
+    n = mb * 1024 * 1024 // 4
+    buf = rs.randn(n).astype(np.float32)   # incompressible
+    rates = []
+    for i in range(reps + 1):
+        t0 = time.perf_counter()
+        y = jnp.asarray(buf)
+        float(jnp.sum(y))                  # fetch = true barrier
+        if i:                              # rep 0 pays the sum compile
+            rates.append(mb / (time.perf_counter() - t0))
+        buf = buf * 1.0000001              # defeat any transfer cache
+    return max(rates)
+
+
 def bench_train_corpus_fed(n_utts=512, repeats=2,
                            transport="bf16", measure_cached=True):
     """Corpus-fed throughput: variable-length utterances through the
@@ -310,13 +334,19 @@ def bench_decode_rtf(lattice: bool):
     return None, (time.perf_counter() - t0) / (T * FRAME_SHIFT_S)
 
 
-def bench_decode_throughput(B: int = 8, T: int = 1024):
+def bench_decode_throughput(B: int = 8, T: int = 1024,
+                            max_active: int = 2048):
     """Offline decode THROUGHPUT at realistic utterance length (~10 s):
     aggregate audio-s/s for (a) naive sequential decode, (b) pipelined
     decode_many (fetch hidden behind the next utterance's dispatch),
     (c) lockstep decode_batch.  The reference scales offline decode by
     run.pl ark-sharding (aslp_scripts/aslp_nnet/decode.sh:129-134);
-    on one chip the equivalents are (b)/(c)."""
+    on one chip the equivalents are (b)/(c).
+
+    ``max_active``: per-frame cost is frontier-budget-bound (A = 4K),
+    so the tuned operating point uses the budget the corpus evidence
+    supports (recipes/decode_budget_sweep.py: dev WER vs K on the hard
+    corpus), not the 60 s-stress default."""
     from kaldi_aslp_tpu.decoder.beam import BatchedBeamDecoder, CsrGraph
 
     if not _DECODE_STATE:
@@ -324,7 +354,7 @@ def bench_decode_throughput(B: int = 8, T: int = 1024):
     dec0 = _DECODE_STATE["dec"]
     dec = BatchedBeamDecoder(dec0.graph, dec0.tid_to_pdf,
                              acoustic_scale=1.0, beam=14.0,
-                             max_active=2048, chunk=128)
+                             max_active=max_active, chunk=128)
     rng = np.random.RandomState(3)
     num_pdfs = int(np.max(dec0.tid_to_pdf)) + 1
     import jax.numpy as jnp
@@ -365,6 +395,14 @@ def main():
 
     throughput, mfu, state = bench_train()
     corpus_fed = corpus_cached = corpus_fed_int8 = None
+    wire_mbps = None
+    try:
+        signal.alarm(300)
+        wire_mbps = measure_tunnel_h2d()
+    except Exception:
+        wire_mbps = None
+    finally:
+        signal.alarm(0)
     try:
         signal.alarm(1500)
         corpus_fed, corpus_cached = bench_train_corpus_fed()
@@ -414,6 +452,18 @@ def main():
         pass
     finally:
         signal.alarm(0)
+    # tuned operating point: frontier budget sized by the hard-corpus
+    # dev-WER sweep (recipes/decode_budget_sweep.py) instead of the
+    # 60 s-stress K=2048 — per-frame cost is budget-bound, so this is
+    # the bulk-decode configuration (decode.sh nj-sharding role)
+    tuned = None
+    try:
+        signal.alarm(1500)
+        tuned = bench_decode_throughput(max_active=512)
+    except Exception:
+        tuned = None
+    finally:
+        signal.alarm(0)
     out = {
         "metric": "audio-seconds/s/chip (BLSTM-CTC train)",
         "value": round(throughput, 2),
@@ -425,6 +475,9 @@ def main():
         "vs_baseline": round(throughput / REF_AUDIO_SECONDS_PER_SEC, 2),
         "vs_baseline_is_estimate": True,
     }
+    if wire_mbps is not None:
+        # the denominator every corpus_fed_* number is byte-bound by
+        out["tunnel_h2d_MBps"] = round(wire_mbps, 1)
     if corpus_fed is not None:
         out["corpus_fed_audio_s_per_s"] = round(corpus_fed, 2)
         out["pipeline_efficiency_pct"] = round(
@@ -443,6 +496,11 @@ def main():
         out["decode10s_seq_audio_s_per_s"] = round(seq_tp, 1)
         out["decode10s_pipelined_audio_s_per_s"] = round(many_tp, 1)
         out["decode10s_batch8_audio_s_per_s"] = round(batch_tp, 1)
+    if tuned is not None:
+        out["decode10s_tuned_seq_audio_s_per_s"] = round(tuned[0], 1)
+        out["decode10s_tuned_pipelined_audio_s_per_s"] = round(
+            tuned[1], 1)
+        out["decode10s_tuned_batch8_audio_s_per_s"] = round(tuned[2], 1)
     print(json.dumps(out))
 
 

@@ -57,8 +57,9 @@ class _Scale:
         if name == "small":
             self.corpus = HardCorpusOptions(
                 num_words=100, num_train_speakers=8,
-                num_test_speakers=3)
+                num_test_speakers=3, num_dev_speakers=3)
             self.num_train, self.num_test, self.lm_mult = 60, 20, 8
+            self.num_dev = 12
             self.mono = MonoTrainOptions(
                 num_iters=8, totgauss=400, realign_iters="1 2 3 4 6")
             self.tri = DeltasTrainOptions(
@@ -69,8 +70,9 @@ class _Scale:
         else:                   # medium
             self.corpus = HardCorpusOptions(
                 num_words=1000, num_train_speakers=24,
-                num_test_speakers=6)
+                num_test_speakers=6, num_dev_speakers=6)
             self.num_train, self.num_test, self.lm_mult = 500, 100, 10
+            self.num_dev = 60
             self.mono = MonoTrainOptions(
                 num_iters=12, totgauss=700,
                 realign_iters="1 2 3 4 5 6 8 10")
@@ -138,6 +140,7 @@ def run(root: str = "exp_timit_synth", scale: str = "medium",
     if corpus is None:
         corpus = build_corpus(sc.corpus, num_train=sc.num_train,
                               num_test=sc.num_test,
+                              num_dev=sc.num_dev,
                               lm_pool_mult=sc.lm_mult)
     lang = corpus["lang"]
     G = arpa_to_fst(corpus["arpa"], lang.words)
@@ -170,9 +173,12 @@ def run(root: str = "exp_timit_synth", scale: str = "medium",
         st = hyb.run(train_feats, train_texts, corpus["test_feats"],
                      corpus["test_texts"], grammar=G,
                      work_dir=os.path.join(root, f"cd_{method}"),
-                     bootstrap=(targets, num_pdfs, hclg, lut))
+                     bootstrap=(targets, num_pdfs, hclg, lut),
+                     dev_feats=corpus.get("dev_feats") or None,
+                     dev_texts=corpus.get("dev_texts") or None)
         results[method] = st.wer
-        logger.info("cd-phone %s: WER %.2f", method, st.wer)
+        logger.info("cd-phone %s: WER %.2f (dev %.2f)", method, st.wer,
+                    getattr(hyb, "last_dev_wer", float("nan")))
 
     logger.info("==== CD-phone hybrid WER by stat method (scale=%s) "
                 "====", scale)

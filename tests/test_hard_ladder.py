@@ -98,3 +98,19 @@ def test_mono_stage_nonsaturated_and_pruning_sensitive():
     healthy, degraded = hard_ladder.pruning_sensitivity(
         hard_ladder.run.artifacts)
     assert degraded >= healthy + 1.0, (healthy, degraded)
+
+    # frontier-budget stability: the bulk-decode operating point
+    # (max_active 512, recipes/decode_budget_sweep.py) must match the
+    # stress budget's WER — per-frame decode cost is budget-bound, so
+    # this is what licenses the tuned throughput configuration
+    from kaldi_aslp_tpu.recipes.score_util import decode_wer_beam
+    a = hard_ladder.run.artifacts
+    big, _ = decode_wer_beam(a["packed0"], a["lut0"], a["test_ll0"],
+                             a["refs"], 0.1, range(4, 16),
+                             beam=hard_ladder.GMM_BEAM,
+                             max_active=2048)
+    small, _ = decode_wer_beam(a["packed0"], a["lut0"], a["test_ll0"],
+                               a["refs"], 0.1, range(4, 16),
+                               beam=hard_ladder.GMM_BEAM,
+                               max_active=512)
+    assert abs(small - big) <= 0.5, (big, small)

@@ -296,3 +296,19 @@ def test_xfused_selected_for_any_input_width(rng, monkeypatch):
         calls.clear()
         comp.apply(params, x, train=True)
         assert calls == ["x"], (D, calls)
+
+    # escape hatches still route to the xg fallback core (round-3
+    # advisor: the env-gated fallback path must not rot silently)
+    comp = rec.BLstmProjectedStreams(128, 2 * 32, cell_dim=64,
+                                     pallas=True, bf16=True)
+    params = comp.init_params(jax.random.PRNGKey(1))
+    x = jnp.asarray(rng.randn(4, 6, 128).astype(np.float32))
+    monkeypatch.setenv("KALDI_ASLP_LSTM_NO_XFUSE", "1")
+    calls.clear()
+    comp.apply(params, x, train=True)
+    assert calls == ["g"], calls
+    monkeypatch.delenv("KALDI_ASLP_LSTM_NO_XFUSE")
+    monkeypatch.setenv("KALDI_ASLP_LSTM_MXU_FP32", "1")
+    calls.clear()
+    comp.apply(params, x, train=True)
+    assert calls == ["g"], calls
