@@ -1115,6 +1115,14 @@ class BeamSearchDecoder:
                     "lattice records capped at %d/frame: dropped %d "
                     "lowest-scored surviving arcs", R,
                     self.last_record_drops)
+            else:
+                # PERSIST the escalated budget: decodes over the same
+                # graph/beam keep similar survivor counts, so starting
+                # the next utterance at the escalated R avoids paying
+                # a full second prune pass every time (measured: the
+                # double pass alone was ~30% of lattice wall on the
+                # 540k bench graph)
+                self.rec_budget = R
             kept, _ = run(R)
         # device-side flatten-compact before the fetch: the [T, R]
         # plane is mostly -1 fill (measured: a 60 s utterance fetched

@@ -1027,7 +1027,7 @@ def bilstmp_train_core(xgf, xgb, mask, wf_gifo_r, wf_r_m, peep_f,
 
 def _bixfused_fwd_kernel(cell_clip: float,
                          xf_ref, xb_ref, mf_ref, mb_ref,
-                         w_x2_ref, w_r2_ref, w_rm2_ref,
+                         w_xr2_ref, w_rm2_ref,
                          peep2_ref, bias2_ref,
                          init_c_ref, init_r_ref,
                          gf_ref, gb_ref, csf_ref, csb_ref,
@@ -1046,9 +1046,15 @@ def _bixfused_fwd_kernel(cell_clip: float,
     C = cf_scr.shape[1]
 
     def step(x, mask_t, c_prev, r_prev, d):
-        gates = bias2_ref[d] \
-            + _mm_k(x, w_x2_ref[d], True) \
-            + _mm_k(r_prev, w_r2_ref[d], True)
+        # ONE gate matmul over the concatenated [x | r_prev]
+        # contraction (w_xr = [w_x; w_r] stacked by the wrapper): per
+        # recurrent step the MXU sees a single [blk, D+P] x [D+P, 4C]
+        # product instead of two back-to-back ones — the forward pass
+        # is dependency-serial per step, so dispatch/pipeline overhead
+        # per matmul is on the critical path (measured round 4: fwd
+        # kernel at 48.8% MFU vs backward at 72.6%)
+        xr = jnp.concatenate([x, r_prev.astype(x.dtype)], axis=1)
+        gates = bias2_ref[d] + _mm_k(xr, w_xr2_ref[d], True)
         gt = jnp.tanh(gates[:, :C])
         i = jax.nn.sigmoid(gates[:, C:2 * C] + peep2_ref[d, 0] * c_prev)
         f = jax.nn.sigmoid(gates[:, 2 * C:3 * C]
@@ -1087,10 +1093,10 @@ def _bixfused_fwd_kernel(cell_clip: float,
 def _xfused_bwd_kernel(cell_clip: float, is_fwd_dir: bool,
                        dy_ref, m_ref, g_ref, cp_ref, rp_ref, x_ref,
                        ic_ref, ir_ref,
-                       w_x_ref, w_r_ref, w_rm_ref, peep_ref,
+                       w_xr_ref, w_rm_ref, peep_ref,
                        dfc_ref, dfr_ref,
                        dx_ref, dic_ref, dir_ref,
-                       dwx_out, dwr_out, dwrm_out, dbias_out, dpeep_out,
+                       dwxr_out, dwrm_out, dbias_out, dpeep_out,
                        dc_scr, dr_scr):
     """One direction's reverse sweep.  Block index maps present frames
     in reverse processing order (direction f walks T-1→0, direction b
@@ -1108,8 +1114,7 @@ def _xfused_bwd_kernel(cell_clip: float, is_fwd_dir: bool,
     # 16 MB scoped-VMEM budget on real hardware by ~4 MB
     @pl.when((sb == 0) & (p == 0))
     def _():
-        dwx_out[:] = jnp.zeros_like(dwx_out)
-        dwr_out[:] = jnp.zeros_like(dwr_out)
+        dwxr_out[:] = jnp.zeros_like(dwxr_out)
         dwrm_out[:] = jnp.zeros_like(dwrm_out)
         dbias_out[:] = jnp.zeros_like(dbias_out)
         dpeep_out[:] = jnp.zeros_like(dpeep_out)
@@ -1162,18 +1167,22 @@ def _xfused_bwd_kernel(cell_clip: float, is_fwd_dir: bool,
     dc_prev = dcu * f + di_lin * peep_ref[0] \
         + df_lin * peep_ref[1] + dc_prev_skip
     dgates = jnp.concatenate([dg_lin, di_lin, df_lin, do_lin], axis=1)
-    dr_prev = dr_prev + _mm_k(dgates, w_r_ref[:].T, True)
+    # one [blk, 4C] x [4C, D+P] product yields dx | dr together (the
+    # [w_x; w_r] stacking the fused-bidirectional kernel uses)
+    D = dx_ref.shape[-1]
+    dxr = _mm_k(dgates, w_xr_ref[:].T, True)
+    dr_prev = dr_prev + dxr[:, D:]
     dc_scr[:] = dc_prev
     dr_scr[:] = dr_prev
     x = x_ref[0]
-    dx_ref[0] = _mm_k(dgates, w_x_ref[:].T, True).astype(dx_ref.dtype)
+    dx_ref[0] = dxr[:, :D].astype(dx_ref.dtype)
     # weight-gradient accumulation in VMEM: the whole point of the
     # variant — no [T, S, 4C] dgates stream ever reaches HBM
     dg_b = dgates.astype(jnp.bfloat16)
-    dwx_out[:] += jnp.dot(x.astype(jnp.bfloat16).T, dg_b,
-                          preferred_element_type=jnp.float32)
-    dwr_out[:] += jnp.dot(r_prev.astype(jnp.bfloat16).T, dg_b,
-                          preferred_element_type=jnp.float32)
+    xr_b = jnp.concatenate([x.astype(jnp.bfloat16),
+                            r_prev.astype(jnp.bfloat16)], axis=1)
+    dwxr_out[:] += jnp.dot(xr_b.T, dg_b,
+                           preferred_element_type=jnp.float32)
     dwrm_out[:] += jnp.dot(m.astype(jnp.bfloat16).T,
                            dr_new.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
@@ -1193,10 +1202,10 @@ def _bixfused_bwd_kernel(cell_clip: float,
                          gf_ref, gb_ref, cpf_ref, cpb_ref,
                          rpf_ref, rpb_ref, xf_ref, xb_ref,
                          ic2_ref, ir2_ref,
-                         w_x2_ref, w_r2_ref, w_rm2_ref, peep2_ref,
+                         w_xr2_ref, w_rm2_ref, peep2_ref,
                          dfc2_ref, dfr2_ref,
                          dxf_ref, dxb_ref, dic2_ref, dir2_ref,
-                         dwx2_out, dwr2_out, dwrm2_out,
+                         dwxr2_out, dwrm2_out,
                          dbias2_out, dpeep2_out,
                          dcf_scr, drf_scr, dcb_scr, drb_scr):
     """BOTH directions' reverse sweeps in one grid step (direction f at
@@ -1213,8 +1222,7 @@ def _bixfused_bwd_kernel(cell_clip: float,
 
     @pl.when((sb == 0) & (p == 0))
     def _():
-        dwx2_out[:] = jnp.zeros_like(dwx2_out)
-        dwr2_out[:] = jnp.zeros_like(dwr2_out)
+        dwxr2_out[:] = jnp.zeros_like(dwxr2_out)
         dwrm2_out[:] = jnp.zeros_like(dwrm2_out)
         dbias2_out[:] = jnp.zeros_like(dbias2_out)
         dpeep2_out[:] = jnp.zeros_like(dpeep2_out)
@@ -1266,16 +1274,19 @@ def _bixfused_bwd_kernel(cell_clip: float,
             + df_lin * peep2_ref[d, 1] + dc_prev_skip
         dgates = jnp.concatenate([dg_lin, di_lin, df_lin, do_lin],
                                  axis=1)
-        dr_prev = dr_prev + _mm_k(dgates, w_r2_ref[d].T, True)
+        # one [blk, 4C] x [4C, D+P] product yields dx | dr contribution
+        # together (the [w_x; w_r] stacking of the forward kernel)
+        D = dx_ref.shape[-1]
+        dxr = _mm_k(dgates, w_xr2_ref[d].T, True)
+        dr_prev = dr_prev + dxr[:, D:]
         dc_scr[:] = dc_prev
         dr_scr[:] = dr_prev
-        dx_ref[0] = _mm_k(dgates, w_x2_ref[d].T, True).astype(
-            dx_ref.dtype)
+        dx_ref[0] = dxr[:, :D].astype(dx_ref.dtype)
         dg_b = dgates.astype(jnp.bfloat16)
-        dwx2_out[d] += jnp.dot(x_v.astype(jnp.bfloat16).T, dg_b,
-                               preferred_element_type=jnp.float32)
-        dwr2_out[d] += jnp.dot(r_prev.astype(jnp.bfloat16).T, dg_b,
-                               preferred_element_type=jnp.float32)
+        xr_b = jnp.concatenate([x_v.astype(jnp.bfloat16),
+                                r_prev.astype(jnp.bfloat16)], axis=1)
+        dwxr2_out[d] += jnp.dot(xr_b.T, dg_b,
+                                preferred_element_type=jnp.float32)
         dwrm2_out[d] += jnp.dot(m.astype(jnp.bfloat16).T,
                                 dr_new.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)
@@ -1332,6 +1343,7 @@ def _bixfused_train_bwd(dysf, dysb, mask, gf, gb, csf, csb, rsf, rsb,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
+    w_xr2 = jnp.concatenate([w_x2, w_r2], axis=1)   # [2, D+P, G]
     outs = pl.pallas_call(
         partial(_bixfused_bwd_kernel, cell_clip),
         grid=(nS, T),
@@ -1343,13 +1355,13 @@ def _bixfused_train_bwd(dysf, dysb, mask, gf, gb, csf, csb, rsf, rsb,
             rprev((blk, P)), fnext((blk, P)),           # r_prev streams
             rev((blk, D)), _fwd_idx((blk, D)),          # x views
             res2((blk, C)), res2((blk, P)),             # ic2, ir2
-            res2((D, G)), res2((P, G)), res2((C, P)), res2((3, C)),
+            res2((D + P, G)), res2((C, P)), res2((3, C)),
             res2((blk, C)), res2((blk, P)),             # dfc2, dfr2
         ],
         out_specs=[
             rev((blk, D)), _fwd_idx((blk, D)),          # dxf, dxb
             res2((blk, C)), res2((blk, P)),             # dic2, dir2
-            res2((D, G)), res2((P, G)), res2((C, P)),
+            res2((D + P, G)), res2((C, P)),
             res2((1, G)), res2((3, C)),
         ],
         out_shape=[
@@ -1357,8 +1369,7 @@ def _bixfused_train_bwd(dysf, dysb, mask, gf, gb, csf, csb, rsf, rsb,
             jax.ShapeDtypeStruct((T, S, D), jnp.bfloat16),
             jax.ShapeDtypeStruct((2, S, C), jnp.float32),
             jax.ShapeDtypeStruct((2, S, P), jnp.float32),
-            jax.ShapeDtypeStruct((2, D, G), jnp.float32),
-            jax.ShapeDtypeStruct((2, P, G), jnp.float32),
+            jax.ShapeDtypeStruct((2, D + P, G), jnp.float32),
             jax.ShapeDtypeStruct((2, C, P), jnp.float32),
             jax.ShapeDtypeStruct((2, 1, G), jnp.float32),
             jax.ShapeDtypeStruct((2, 3, C), jnp.float32),
@@ -1372,12 +1383,12 @@ def _bixfused_train_bwd(dysf, dysb, mask, gf, gb, csf, csb, rsf, rsb,
         interpret=interpret,
         **kwargs,
     )(dyf_t, dyb_t, mask_t, mask_t, gf, gb, csf, csb, rsf, rsb,
-      x_t, x_t, ic2, ir2, w_x2, w_r2, w_rm2, peep2, dfc2, dfr2)
-    (dxf, dxb, dic2, dir2, dwx2, dwr2, dwrm2, dbias2, dpeep2) = outs
+      x_t, x_t, ic2, ir2, w_xr2, w_rm2, peep2, dfc2, dfr2)
+    (dxf, dxb, dic2, dir2, dwxr2, dwrm2, dbias2, dpeep2) = outs
     dx = (dxf.astype(jnp.float32) + dxb.astype(jnp.float32)
           ).astype(jnp.bfloat16)
     return (jnp.swapaxes(dx, 0, 1), dic2[0], dir2[0],
-            dwx2, dwr2, dwrm2, dbias2[:, 0], dpeep2)
+            dwxr2[:, :D], dwxr2[:, D:], dwrm2, dbias2[:, 0], dpeep2)
 
 
 @partial(jax.jit, static_argnames=("cell_clip", "interpret"))
@@ -1393,13 +1404,15 @@ def _bixfused_train_fwd(x, mask, w_x2, w_r2, w_rm2, peep2, bias2,
     x_t = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)
     mask_t = jnp.broadcast_to(
         jnp.swapaxes(mask, 0, 1)[:, :, None], (T, S, 128))
+    # stacked [x | r] contraction weights: one gate matmul per step
+    w_xr2 = jnp.concatenate([w_x2, w_r2], axis=1)
     outs = pl.pallas_call(
         partial(_bixfused_fwd_kernel, cell_clip),
         grid=(nS, T),
         in_specs=[
             _fwd_idx((blk, D)), _rev_idx((blk, D), T),
             _fwd_idx((blk, 128)), _rev_idx((blk, 128), T),
-            _resident3((2, D, G)), _resident3((2, P, G)),
+            _resident3((2, D + P, G)),
             _resident3((2, C, P)),
             _resident3((2, 3, C)), _resident3((2, G)),
             _per_block((blk, C)), _per_block((blk, P)),
@@ -1427,7 +1440,7 @@ def _bixfused_train_fwd(x, mask, w_x2, w_r2, w_rm2, peep2, bias2,
             pltpu.VMEM((blk, P), jnp.float32),
         ],
         interpret=interpret,
-    )(x_t, x_t, mask_t, mask_t, w_x2, w_r2, w_rm2, peep2, bias2,
+    )(x_t, x_t, mask_t, mask_t, w_xr2, w_rm2, peep2, bias2,
       init_c, init_r)
     return outs
 
@@ -1456,6 +1469,7 @@ def _xfused_train_bwd_dir(dy, mask, gates, cs, rs, x,
     else:
         step_idx = _fwd_idx
         prev_idx = partial(_fwd_next_idx, T=T)
+    w_xr = jnp.concatenate([w_x, w_r], axis=0)   # [D+P, G]
     outs = pl.pallas_call(
         partial(_xfused_bwd_kernel, cell_clip, is_fwd_dir),
         grid=(nS, T),
@@ -1468,22 +1482,21 @@ def _xfused_train_bwd_dir(dy, mask, gates, cs, rs, x,
             step_idx((blk, D)),            # x
             _per_block((blk, C)),          # init_c
             _per_block((blk, P)),          # init_r
-            _resident3((D, G)), _resident3((P, G)),
+            _resident3((D + P, G)),
             _resident3((C, P)), _resident3((3, C)),
             _per_block((blk, C)), _per_block((blk, P)),
         ],
         out_specs=[
             step_idx((blk, D)),            # dx
             _per_block((blk, C)), _per_block((blk, P)),
-            _resident3((D, G)), _resident3((P, G)),
+            _resident3((D + P, G)),
             _resident3((C, P)), _resident3((1, G)), _resident3((3, C)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, S, D), jnp.bfloat16),
             jax.ShapeDtypeStruct((S, C), jnp.float32),
             jax.ShapeDtypeStruct((S, P), jnp.float32),
-            jax.ShapeDtypeStruct((D, G), jnp.float32),
-            jax.ShapeDtypeStruct((P, G), jnp.float32),
+            jax.ShapeDtypeStruct((D + P, G), jnp.float32),
             jax.ShapeDtypeStruct((C, P), jnp.float32),
             jax.ShapeDtypeStruct((1, G), jnp.float32),
             jax.ShapeDtypeStruct((3, C), jnp.float32),
@@ -1494,10 +1507,10 @@ def _xfused_train_bwd_dir(dy, mask, gates, cs, rs, x,
         ],
         interpret=interpret,
     )(dy_t, mask_t, gates, cs, rs, x_t, init_c, init_r,
-      w_x, w_r, w_rm, peep, d_final_c, d_final_r)
-    (dx, dic, dir_, dwx, dwr, dwrm, dbias, dpeep) = outs
-    return (jnp.swapaxes(dx, 0, 1), dic, dir_, dwx, dwr, dwrm,
-            dbias[0], dpeep)
+      w_xr, w_rm, peep, d_final_c, d_final_r)
+    (dx, dic, dir_, dwxr, dwrm, dbias, dpeep) = outs
+    return (jnp.swapaxes(dx, 0, 1), dic, dir_, dwxr[:D], dwxr[D:],
+            dwrm, dbias[0], dpeep)
 
 
 @functools.lru_cache(maxsize=None)

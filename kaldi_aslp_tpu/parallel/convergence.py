@@ -81,6 +81,7 @@ def run_convergence_comparison(
     learn_rate: float = 0.5,
     strategies: Sequence[str] = ("bsp", "bmuf", "easgd"),
     task: str = "affine",
+    lr_halve_at: Sequence[int] = (),
 ) -> Dict[str, List[float]]:
     """Returns {strategy: [...]}: held-out xent of the consensus model
     after each round (index 0 = before any training), one list per
@@ -170,7 +171,12 @@ def run_convergence_comparison(
         V_ = y.shape[-1]
         return xent_loss(y.reshape(-1, V_), batch["y"].reshape(-1))
 
-    lr = jnp.asarray(learn_rate, jnp.float32)
+    # shared lr schedule: every strategy sees the same decayed local-SGD
+    # rate per round (the newbob-halving role — late-phase oscillation
+    # otherwise dominates the cross-strategy final-loss spread)
+    lrs = [jnp.asarray(
+        learn_rate * 0.5 ** sum(i >= h for h in lr_halve_at),
+        jnp.float32) for i in range(n_rounds)]
     rounds = [{"x": jnp.asarray(x), "y": jnp.asarray(y)}
               for x, y in rounds_np]
     out: Dict[str, List[float]] = {}
@@ -182,8 +188,9 @@ def run_convergence_comparison(
         p = params0
         vel = init_velocity(params0)
         traj = [float(eval_loss(p))]
-        for batch in rounds:
-            p, vel, _, _ = bsp_step(p, vel, shard_batch(batch, mesh), lr)
+        for i, batch in enumerate(rounds):
+            p, vel, _, _ = bsp_step(p, vel, shard_batch(batch, mesh),
+                                    lrs[i])
             traj.append(float(eval_loss(p)))
         out["bsp"] = traj
 
@@ -198,13 +205,13 @@ def run_convergence_comparison(
         delta = jtu.tree_map(jnp.zeros_like, params0)
         opt_blk = stack_block_states(init_velocity(params0), n_blocks)
         traj = [float(eval_loss(w))]
-        for batch in rounds:
+        for i, batch in enumerate(rounds):
             b2 = jtu.tree_map(
                 lambda a: jax.device_put(
                     a, NamedSharding(mesh2, P(("block", "data")))),
                 batch)
             w, w_prev, delta, opt_blk, _ = bmuf_step(
-                w, w_prev, delta, opt_blk, b2, lr)
+                w, w_prev, delta, opt_blk, b2, lrs[i])
             traj.append(float(eval_loss(w_prev)))
         out["bmuf"] = traj
 
@@ -222,9 +229,9 @@ def run_convergence_comparison(
         state = PsState(params0, n_devices, PsOptions(mode=mode))
         opt_w = stack_worker_states(init_velocity(params0), n_devices)
         traj = [float(eval_loss(state.server))]
-        for batch in rounds:
+        for i, batch in enumerate(rounds):
             state.workers, opt_w, _ = ps_step(
-                state.workers, opt_w, batch, lr)
+                state.workers, opt_w, batch, lrs[i])
             state = ps_sync_round(state)
             traj.append(float(eval_loss(state.server)))
         out[mode] = traj
@@ -242,8 +249,8 @@ def run_convergence_comparison(
         opt_w = stack_worker_states(init_velocity(params0), n_devices)
         traj = [float(eval_loss(sod.w_global))]
         import jax.tree_util as jtu2
-        for batch in rounds:
-            workers, opt_w, _ = ps_step(workers, opt_w, batch, lr)
+        for i, batch in enumerate(rounds):
+            workers, opt_w, _ = ps_step(workers, opt_w, batch, lrs[i])
             avg = jtu2.tree_map(lambda v: v.mean(0), workers)
             w_global, sod = sod_sync(sod, avg)
             workers = stack_worker_states(w_global, n_devices)

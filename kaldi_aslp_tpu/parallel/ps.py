@@ -119,14 +119,79 @@ def masgd_pair_sync(server: Any, worker: Any, prev: Any, diff: Any,
     return new_server, new_server, new_server, new_diff
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("mode", "alpha", "momentum", "local"))
+def _sync_round_impl(server, workers, prev, diffs, order, *,
+                     mode: str, alpha: float, momentum: float,
+                     local: bool):
+    """Jitted core of :func:`ps_sync_round`.  State rides as ARGUMENTS,
+    never as scan-body closure constants: an eager ``lax.scan`` whose
+    body closes over concrete arrays bakes them into the jaxpr as
+    literals, so every call compiles a fresh program — a sync round per
+    training round leaked one LLVM JIT compilation each until the
+    process died of code-arena exhaustion (observed on the 8-device CPU
+    mesh after a few hundred rounds)."""
+    if mode == "easgd":
+        def body(server, idx):
+            worker = tmap(lambda v: v[idx], workers)
+            new_server, new_worker = easgd_pair_sync(
+                server, worker, alpha)
+            return new_server, (idx, new_worker)
+
+        server, (idxs, rows) = jax.lax.scan(body, server, order)
+        new_workers = tmap(lambda ws, r: ws.at[idxs].set(r),
+                           workers, rows)
+        return server, new_workers, None, None
+
+    if mode == "asgd":
+        def body(server, idx):
+            worker = tmap(lambda v: v[idx], workers)
+            pv = tmap(lambda v: v[idx], prev)
+            server, new_worker, new_prev = asgd_pair_sync(
+                server, worker, pv, alpha)
+            return server, (idx, new_worker, new_prev)
+
+        server, (idxs, rows, prows) = jax.lax.scan(body, server, order)
+        new_workers = tmap(lambda ws, r: ws.at[idxs].set(r),
+                           workers, rows)
+        new_prev = tmap(lambda ws, r: ws.at[idxs].set(r), prev, prows)
+        return server, new_workers, new_prev, None
+
+    if mode == "masgd":
+        def body(carry, idx):
+            server, gdiff = carry
+            worker = tmap(lambda v: v[idx], workers)
+            pv = tmap(lambda v: v[idx], prev)
+            diff = (tmap(lambda v: v[idx], diffs) if local else gdiff)
+            server, new_worker, new_prev, new_diff = masgd_pair_sync(
+                server, worker, pv, diff, momentum)
+            out_diff = new_diff if local else None
+            return (server, new_diff if not local else gdiff), \
+                (idx, new_worker, new_prev, out_diff)
+
+        gdiff0 = diffs if not local else tmap(
+            lambda v: jnp.zeros_like(v[0]), diffs)
+        (server, gdiff), (idxs, rows, prows, drows) = jax.lax.scan(
+            body, (server, gdiff0), order)
+        new_workers = tmap(lambda ws, r: ws.at[idxs].set(r),
+                           workers, rows)
+        new_prev = tmap(lambda ws, r: ws.at[idxs].set(r), prev, prows)
+        new_diffs = (tmap(lambda ws, r: ws.at[idxs].set(r),
+                          diffs, drows) if local else gdiff)
+        return server, new_workers, new_prev, new_diffs
+
+    raise ValueError(f"unknown ps mode {mode!r}")
+
+
 def ps_sync_round(state: PsState, order: Optional[Any] = None) -> PsState:
     """One full round of sequential worker→server syncs.
 
     ``order``: [W] int32 arrival order (default 0..W-1 round-robin).
-    Jittable: a lax.scan threads the server (and GMASGD diff) through
-    the pairwise updates; worker rows are gathered/updated by index so
-    any permutation schedule is expressible (stragglers, reversed
-    arrivals, ...)."""
+    The core is one cached jit (_sync_round_impl); worker rows are
+    gathered/updated by index so any permutation schedule is
+    expressible (stragglers, reversed arrivals, ...)."""
     opts = state.opts
     W = state.num_workers
     if order is None:
@@ -134,74 +199,18 @@ def ps_sync_round(state: PsState, order: Optional[Any] = None) -> PsState:
     else:
         order = jnp.asarray(order, jnp.int32)
 
-    mode = opts.mode
-    if mode == "easgd":
-        def body(server, idx):
-            worker = tmap(lambda v: v[idx], state.workers)
-            new_server, new_worker = easgd_pair_sync(
-                server, worker, opts.alpha)
-            return new_server, (idx, new_worker)
-
-        server, (idxs, rows) = jax.lax.scan(body, state.server, order)
-        new = PsState.__new__(PsState)
-        new.opts, new.num_workers = opts, W
-        new.server = server
-        new.workers = tmap(lambda ws, r: ws.at[idxs].set(r),
-                           state.workers, rows)
-        new.prev, new.diffs = None, None
-        return new
-
-    if mode == "asgd":
-        def body(server, idx):
-            worker = tmap(lambda v: v[idx], state.workers)
-            prev = tmap(lambda v: v[idx], state.prev)
-            server, new_worker, new_prev = asgd_pair_sync(
-                server, worker, prev, opts.alpha)
-            return server, (idx, new_worker, new_prev)
-
-        server, (idxs, rows, prows) = jax.lax.scan(
-            body, state.server, order)
-        new = PsState.__new__(PsState)
-        new.opts, new.num_workers = opts, W
-        new.server = server
-        new.workers = tmap(lambda ws, r: ws.at[idxs].set(r),
-                           state.workers, rows)
-        new.prev = tmap(lambda ws, r: ws.at[idxs].set(r),
-                        state.prev, prows)
-        new.diffs = None
-        return new
-
-    if mode == "masgd":
-        local = opts.masgd_type == "local"
-
-        def body(carry, idx):
-            server, gdiff = carry
-            worker = tmap(lambda v: v[idx], state.workers)
-            prev = tmap(lambda v: v[idx], state.prev)
-            diff = (tmap(lambda v: v[idx], state.diffs)
-                    if local else gdiff)
-            server, new_worker, new_prev, new_diff = masgd_pair_sync(
-                server, worker, prev, diff, opts.masgd_momentum)
-            out_diff = new_diff if local else None
-            return (server, new_diff if not local else gdiff), \
-                (idx, new_worker, new_prev, out_diff)
-
-        gdiff0 = state.diffs if not local else tmap(
-            lambda v: jnp.zeros_like(v[0]), state.diffs)
-        (server, gdiff), (idxs, rows, prows, drows) = jax.lax.scan(
-            body, (state.server, gdiff0), order)
-        new = PsState.__new__(PsState)
-        new.opts, new.num_workers = opts, W
-        new.server = server
-        new.workers = tmap(lambda ws, r: ws.at[idxs].set(r),
-                           state.workers, rows)
-        new.prev = tmap(lambda ws, r: ws.at[idxs].set(r),
-                        state.prev, prows)
-        new.diffs = (tmap(lambda ws, r: ws.at[idxs].set(r),
-                          state.diffs, drows) if local else gdiff)
-        return new
-
-    raise ValueError(f"unknown ps mode {mode!r}")
+    server, workers, prev, diffs = _sync_round_impl(
+        state.server, state.workers, state.prev, state.diffs, order,
+        mode=opts.mode, alpha=opts.alpha,
+        momentum=opts.masgd_momentum,
+        local=opts.masgd_type == "local")
+    new = PsState.__new__(PsState)
+    new.opts, new.num_workers = opts, W
+    new.server = server
+    new.workers = workers
+    new.prev = prev
+    new.diffs = diffs
+    return new
 
 
 def make_ps_round_step(

@@ -145,10 +145,12 @@ def run(root: str = "exp_hard", scale: str = "full",
     lmwt_range = range(4, 16)
     artifacts: Dict[str, object] = {"corpus": corpus}
 
-    def score_stage(packed, lut, am_packed) -> tuple:
+    def score_stage(name, packed, lut, am_packed) -> tuple:
         """GMM-stage scoring: LMWT selected on dev when a dev set
         exists (on test otherwise — small-scale tests may inject
-        corpora without one).  Returns (test_wer, dev_wer, test_ll)."""
+        corpora without one).  Returns (test_wer, dev_wer, test_ll).
+        Dev loglikes are stashed in artifacts for follow-on probes
+        (decode budget sweeps reuse them without re-training)."""
         test_ll = {u: np.asarray(gmm_loglikes(jnp.asarray(f),
                                               *am_packed))
                    for u, f in test_feats.items()}
@@ -156,6 +158,8 @@ def run(root: str = "exp_hard", scale: str = "full",
             dev_ll = {u: np.asarray(gmm_loglikes(jnp.asarray(f),
                                                  *am_packed))
                       for u, f in dev_feats.items()}
+            artifacts[f"dev_ll_{name}"] = dev_ll
+            artifacts["dev_refs"] = dev_refs
             wer, dev_wer, _ = decode_wer_dev_test(
                 packed, lut, dev_ll, dev_refs, test_ll, refs, 0.1,
                 lmwt_range, beam=GMM_BEAM)
@@ -171,7 +175,8 @@ def run(root: str = "exp_hard", scale: str = "full",
     lut0 = tm0.alignment_to_pdfs(np.arange(tm0.num_transition_ids + 1))
     packed0 = PackedGraph.from_fst(hclg0)
     if "mono" in stages:
-        wer, dev_wer, test_ll0 = score_stage(packed0, lut0, am0.pack())
+        wer, dev_wer, test_ll0 = score_stage("mono", packed0, lut0,
+                                             am0.pack())
         results["mono"] = wer
         dev_results["mono"] = dev_wer
         logger.info("mono WER %.2f (dev %.2f; reference role: egs/rm "
@@ -191,7 +196,7 @@ def run(root: str = "exp_hard", scale: str = "full",
     hclg1, tm1d = make_cd_decode_graph(lang, G, tri)
     lut1 = tm1d.alignment_to_pdfs(np.arange(tm1d.num_transition_ids + 1))
     if "tri" in stages:
-        wer, dev_wer, _ = score_stage(PackedGraph.from_fst(hclg1),
+        wer, dev_wer, _ = score_stage("tri", PackedGraph.from_fst(hclg1),
                                       lut1, am1.pack())
         results["tri"] = wer
         dev_results["tri"] = dev_wer
