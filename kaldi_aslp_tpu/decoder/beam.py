@@ -528,6 +528,39 @@ def _bs_left(keys: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     return lo
 
 
+@partial(jax.jit, static_argnames=("R_em", "R_ep"))
+def _compact_record_chunk(em_pos, em_sc, em_src, em_dst, em_dl,
+                          eps_pos, eps_sc, eps_src, eps_dst, eps_dl,
+                          R_em: int, R_ep: int):
+    """Batched (non-scan) compaction of one chunk's record planes to
+    the measured live width: a 6-operand sort per stage moves live
+    entries (pos >= 0) to the front of each row, then the row is
+    sliced to R.  EXACT — the caller sizes R_em/R_ep from the per-frame
+    live counts the forward scan emits, so nothing can be dropped.
+
+    Why outside the scan: the prune scan's per-frame gather/scatter
+    cost is proportional to the STATIC plane width (measured ~28 ns/row
+    — 350 us/frame at width 12k), while in-scan top_k compaction made
+    the forward scan ~2.4x slower (lax.top_k at large K is far more
+    expensive than a sort, measured round 4: forced rec_budget raised
+    lattice wall 5.1 -> 8.7 s).  Sorting HERE is batched across the
+    whole chunk with no sequential dependency, which is where TPU sorts
+    are cheap."""
+    def compact(pos, sc, src, dst, dl, R):
+        W = pos.shape[-1]
+        if R >= W:
+            return pos, sc, src, dst, dl
+        key = jnp.where(pos >= 0, jnp.int32(0), jnp.int32(1))
+        _, pos, sc, src, dst, dl = jax.lax.sort(
+            (key, pos, sc, src, dst, dl), num_keys=1, dimension=-1)
+        return (pos[..., :R], sc[..., :R], src[..., :R],
+                dst[..., :R], dl[..., :R])
+
+    em = compact(em_pos, em_sc, em_src, em_dst, em_dl, R_em)
+    ep = compact(eps_pos, eps_sc, eps_src, eps_dst, eps_dl, R_ep)
+    return em + ep
+
+
 @partial(jax.jit, static_argnames=("stages", "chunk", "R_pr"))
 def _record_prune_chunk(
     em_pos,              # [chunk, Wm] CSR positions, -1 pad
@@ -769,6 +802,15 @@ class BeamSearchDecoder:
         # record prune scan's per-frame sorted-set ops scale with this
         self.rec_fwd_budget = 2048
         self.last_record_drops = 0
+        # compact the prune scan's input planes to the measured live
+        # width before the backward pass (see _compact_record_chunk).
+        # Default OFF: on the 540k word-loop bench the em stage is
+        # beam-saturated (live = A_em) so only the eps planes shrink
+        # (8192 -> 2048), and the batched 6-operand sorts cost what the
+        # narrower prune saves (measured round 4: 5.01 s with vs 5.08 s
+        # without at T=6000).  Turn on for graphs whose live record
+        # counts sit far below the budgets.
+        self.compact_prune_inputs = False
         # extra slack on the device-side record prune: the recorded
         # scores are f32 running sums over the whole utterance, so
         # near-threshold arcs carry O(0.1) accumulated rounding noise
@@ -1020,6 +1062,28 @@ class BeamSearchDecoder:
                     ll_dev, t0, T, st2, sc2, True, R)
                 dev_planes.append(outs[3:13])
                 cnts.append(outs[13])
+        if T > 0 and self.compact_prune_inputs:
+            # one fetch of the per-frame live counts sizes the compacted
+            # planes EXACTLY (nothing dropped); the prune scan's cost is
+            # proportional to static width, so eps planes at the eps
+            # budget A shrink to ~K (the expansion cap bounds live eps
+            # records) while a saturated em stage is left alone
+            c = np.asarray(jnp.concatenate(cnts))[:T]
+            Wm = dev_planes[0][0].shape[-1]
+            Wp = dev_planes[0][5].shape[-1] if self.eps_rounds else 0
+
+            def pow2(n):
+                return 1 << max(int(n) - 1, 0).bit_length()
+
+            R_em = min(pow2(c[:, 0].max() if c.size else 1), Wm)
+            R_ep = min(pow2(c[:, 1:].max() if (self.eps_rounds
+                                               and c.shape[1] > 1)
+                            else 1), Wp) if Wp else 0
+            if R_em < Wm or (Wp and R_ep < Wp):
+                dev_planes = [
+                    _compact_record_chunk(*pl, R_em=R_em,
+                                          R_ep=max(R_ep, 1))
+                    for pl in dev_planes]
         states = np.asarray(st)
         scores = np.asarray(sc)
         k, best_score, is_final = self._best_final(states, scores)

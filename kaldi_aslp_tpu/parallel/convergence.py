@@ -257,3 +257,44 @@ def run_convergence_comparison(
             traj.append(float(eval_loss(w_global)))
         out["sod"] = traj
     return out
+
+
+def _best_band(finals: Dict[str, float], k: int = 5) -> float:
+    """Smallest max/min ratio over any ``k``-subset of the final
+    losses (the "similar convergence" band: with six strategies one
+    outlier — e.g. MASGD's aggressive server momentum at a shared lr —
+    should not mask five agreeing trajectories)."""
+    vals = sorted(finals.values())
+    if len(vals) < k:
+        return vals[-1] / max(vals[0], 1e-9)
+    return min(vals[i + k - 1] / max(vals[i], 1e-9)
+               for i in range(len(vals) - k + 1))
+
+
+if __name__ == "__main__":
+    # subprocess entry for __graft_entry__.dryrun_multichip and the
+    # slow test: the 8-virtual-device CPU mesh's collective rendezvous
+    # can abort the PROCESS under host contention, so callers isolate
+    # the comparison and retry (run with
+    # --xla_cpu_collective_call_terminate_timeout_seconds raised).
+    import json
+    import sys
+
+    import jax
+
+    # axon's sitecustomize bakes JAX_PLATFORMS before env vars apply —
+    # force the CPU mesh via config (CLAUDE.md trap; also keeps this
+    # subprocess off the one-owner TPU)
+    jax.config.update("jax_platforms", "cpu")
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    lr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    # validated operating point (round-4 tuning scans): 300 rounds at
+    # lr 1.0, no halving — 5 of 6 strategies land in a 1.21x band
+    # (masgd overshoots late at the shared lr; reported, not asserted)
+    res = run_convergence_comparison(
+        n, n_rounds=rounds, learn_rate=lr, per_device_batch=8,
+        strategies=ALL_STRATEGIES, task="hard_blstm")
+    print(json.dumps({k: [round(float(x), 4) for x in v]
+                      for k, v in res.items()}))

@@ -421,6 +421,32 @@ def test_lattice_record_budget_escalation_and_cap():
     assert wl == words == w2
 
 
+def test_lattice_prune_input_compaction_exact():
+    """compact_prune_inputs (post-scan sort compaction of the prune
+    scan's record planes to the measured live width) is EXACT: the
+    lattice is identical to the uncompacted path — the per-frame live
+    counts size the compacted widths, so nothing can be dropped."""
+    lang, packed, lut = _small_setup()
+    y, n = lang.phones.id("Y"), lang.phones.id("N")
+    seq = [0, n, n, 0, y, 0]
+    ll = _scores(lang, seq, conf=0.4)
+    ref = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                            acoustic_scale=1.0, beam=1e9,
+                            max_active=64, arc_budget=1024, chunk=8)
+    ref.compact_prune_inputs = False
+    w_ref, _, s_ref, lat_ref = ref.decode_lattice(ll, lattice_beam=10.0)
+
+    dec = BeamSearchDecoder(CsrGraph.from_packed(packed), lut,
+                            acoustic_scale=1.0, beam=1e9,
+                            max_active=64, arc_budget=1024, chunk=8)
+    dec.compact_prune_inputs = True
+    words, _, score, lat = dec.decode_lattice(ll, lattice_beam=10.0)
+    assert words == w_ref and abs(score - s_ref) < 1e-3
+    assert lat.num_arcs() == lat_ref.num_arcs()
+    assert sorted((a.t, a.src, a.dst, a.tid) for a in lat.arcs) == \
+        sorted((a.t, a.src, a.dst, a.tid) for a in lat_ref.arcs)
+
+
 def test_lattice_fwd_record_budget_escalation():
     """A tiny forward record-plane budget (stored-plane compaction)
     forces the exact escalation re-run of the record pass; the lattice
