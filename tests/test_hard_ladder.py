@@ -18,6 +18,8 @@ suite (python -m kaldi_aslp_tpu.recipes.hard_ladder); the ordering
 evidence lives in STATUS.md.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -114,3 +116,19 @@ def test_mono_stage_nonsaturated_and_pruning_sensitive():
                                beam=hard_ladder.GMM_BEAM,
                                max_active=512)
     assert abs(small - big) <= 0.5, (big, small)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.environ.get("KALDI_ASLP_RUN_MEDIUM"),
+                    reason="multi-hour medium run; set "
+                           "KALDI_ASLP_RUN_MEDIUM=1 to execute (manual "
+                           "protocol — published rows live in STATUS.md)")
+def test_medium_ladder_ordering():
+    """The reference property the ladder exists to reproduce: each
+    stage improves on the last (egs/rm/s5/RESULTS:6-15 mono 8.74 ->
+    tri2b 2.98; egs/hkust/s5/RESULTS:13-18 DNN 39.42 -> LSTM 37.61).
+    WER is 'lower is better', so the assertion chain is descending."""
+    results = hard_ladder.run("/tmp/exp_hard_medium", scale="medium")
+    assert results["mono"] > results["tri"], results
+    assert results["tri"] > results["dnn"], results
+    assert results["dnn"] >= results["ctc"] - 2.0, results
