@@ -234,6 +234,15 @@ class ViterbiDecoder:
             np.concatenate([idx, np.full(pad, -1, idx.dtype)]),
         )
 
+    def _init(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Start-state scores + host eps closure backpointers."""
+        g = self.graph
+        S = self._num_states_padded
+        init = np.full(S, NEG_INF, np.float32)
+        init[g.start] = 0.0
+        init_bp = np.full(S, -1, np.int64)
+        return _eps_relax_host(init, init_bp, self._ep, g.eps_diameter)
+
     def decode(self, loglikes: np.ndarray
                ) -> Tuple[List[int], np.ndarray, float]:
         g = self.graph
@@ -242,12 +251,7 @@ class ViterbiDecoder:
         ep_src, ep_dst, ep_w, ep_idx = self._ep
 
         S = self._num_states_padded
-        init = np.full(S, NEG_INF, np.float32)
-        init[g.start] = 0.0
-        init_bp = np.full(S, -1, np.int64)
-        init, init_bp = _eps_relax_host(
-            init, init_bp, self._ep, g.eps_diameter
-        )
+        init, init_bp = self._init()
 
         if T > 0:
             # bucket T so one compile serves many utterance lengths
@@ -272,7 +276,16 @@ class ViterbiDecoder:
             bps = np.asarray(bps)[:T]
         else:
             final_scores, bps = init, np.zeros((0, S), np.int64)
+        return self._finish(final_scores, bps, T, init_bp)
 
+    def _finish(self, final_scores: np.ndarray, bps: np.ndarray,
+                T: int, init_bp: np.ndarray
+                ) -> Tuple[List[int], np.ndarray, float]:
+        """Final-state selection + host backtrace through arc-id
+        backpointers (shared by :meth:`decode` and
+        :func:`align_batched`)."""
+        g = self.graph
+        S = self._num_states_padded
         final_cost = np.full(S, np.inf, np.float32)
         final_cost[:g.num_states] = g.final
         total = final_scores - np.where(
@@ -282,7 +295,6 @@ class ViterbiDecoder:
         if not np.isfinite(total[end_state]) or total[end_state] <= NEG_INF:
             raise RuntimeError("no complete path found (empty decode)")
 
-        # host backtrace through arc-id backpointers
         ali = np.zeros(T, np.int32)
         words_rev: List[int] = []
         s = end_state
@@ -306,6 +318,109 @@ class ViterbiDecoder:
                 words_rev.append(int(self.graph.olabel[a]))
             s = int(self.graph.src[a])
         return list(reversed(words_rev)), ali, float(total[end_state])
+
+
+@partial(jax.jit, static_argnames=("num_states", "eps_iters"))
+def _viterbi_scan_batched(loglikes, init_scores,
+                          em_src, em_dst, em_pdf, em_w, em_idx,
+                          ep_src, ep_dst, ep_w, ep_idx,
+                          acoustic_scale,
+                          num_states: int, eps_iters: int, valid_mask):
+    """[B, ...]-stacked :func:`_viterbi_scan`: B utterances with B
+    DIFFERENT (bucketed-same-shape) training graphs in one program."""
+    def one(ll, ini, es, ed, epf, ew, ei, ps, pd, pw, pi, v):
+        fs, bp, _alphas = _viterbi_scan(
+            ll, ini, es, ed, epf, ew, ei, ps, pd, pw, pi,
+            acoustic_scale, num_states, eps_iters, v)
+        return fs, bp
+
+    return jax.vmap(one)(loglikes, init_scores, em_src, em_dst, em_pdf,
+                         em_w, em_idx, ep_src, ep_dst, ep_w, ep_idx,
+                         valid_mask)
+
+
+def align_batched(graphs: dict, tid_to_pdf: np.ndarray,
+                  loglikes: dict, acoustic_scale: float = 1.0,
+                  batch: int = 16) -> dict:
+    """Exact Viterbi alignment of MANY utterances, each over its OWN
+    per-utterance training graph, batched into one device program per
+    shape bucket (the gmm-align-compiled role at corpus granularity —
+    reference: steps/align_si.sh driving one process per job).
+
+    Per-utterance alignment dispatches were the recipes' TPU
+    bottleneck: each utterance cost a handful of ~25-50 ms tunnel
+    round-trips, so a 500-utterance realignment pass was RTT-bound at
+    ~30+ min/iteration while the chip idled (round-4 measurement; see
+    CLAUDE.md).  Batching amortizes the dispatch+fetch RTT over
+    ``batch`` utterances and lets the [B, T, S] DP fill the VPU.
+
+    ``graphs``/``loglikes``: dicts utt → PackedGraph / [T, P] array.
+    Returns utt → (words, alignment, score) like ViterbiDecoder.decode.
+    Graphs are bucketed by (padded T, padded S, padded arc counts) so a
+    handful of compiles serve a whole corpus."""
+    decs = {}
+    for u, g in graphs.items():
+        if not isinstance(g, PackedGraph):
+            g = PackedGraph.from_fst(g)
+        decs[u] = ViterbiDecoder(g, tid_to_pdf, acoustic_scale)
+
+    T_BUCKET = 128
+    groups: dict = {}
+    for u, dec in decs.items():
+        T = len(loglikes[u])
+        Tp = max(1, int(np.ceil(T / T_BUCKET))) * T_BUCKET
+        sig = (Tp, dec._num_states_padded,
+               len(dec._em[0]), len(dec._ep[0]))
+        groups.setdefault(sig, []).append(u)
+
+    out = {}
+    for (Tp, S, Aem, Aep), utts in sorted(groups.items()):
+        eps_iters = max(max(decs[u].graph.eps_diameter
+                            for u in utts), 1)
+        for i0 in range(0, len(utts), batch):
+            chunk = utts[i0:i0 + batch]
+            B = len(chunk)
+            rows = chunk + [chunk[0]] * (batch - B)  # pad to one compile
+            lls = np.zeros((batch, Tp, loglikes[chunk[0]].shape[1]),
+                           np.float32)
+            valid = np.zeros((batch, Tp), np.float32)
+            inits = np.zeros((batch, S), np.float32)
+            init_bps = []
+            em = [np.zeros((batch, Aem), np.int32) for _ in range(3)] \
+                + [np.zeros((batch, Aem), np.float32),
+                   np.zeros((batch, Aem), np.int64)]
+            ep = [np.zeros((batch, Aep), np.int32) for _ in range(2)] \
+                + [np.zeros((batch, Aep), np.float32),
+                   np.zeros((batch, Aep), np.int64)]
+            for j, u in enumerate(rows):
+                dec = decs[u]
+                T = len(loglikes[u])
+                lls[j, :T] = loglikes[u]
+                valid[j, :T] = 1.0
+                ini, ibp = dec._init()
+                inits[j] = ini
+                if j < B:
+                    init_bps.append(ibp)
+                es, ed, eil, ew, ei = dec._em
+                em[0][j], em[1][j] = es, ed
+                em[2][j] = dec.tid_to_pdf[eil]
+                em[3][j], em[4][j] = ew, ei
+                ps, pd, pw, pi = dec._ep
+                ep[0][j], ep[1][j] = ps, pd
+                ep[2][j], ep[3][j] = pw, pi
+            finals, bps = _viterbi_scan_batched(
+                jnp.asarray(lls), jnp.asarray(inits),
+                *(jnp.asarray(a) for a in em),
+                *(jnp.asarray(a) for a in ep),
+                jnp.asarray(acoustic_scale, jnp.float32),
+                S, eps_iters, jnp.asarray(valid))
+            finals = np.asarray(finals)
+            bps = np.asarray(bps)
+            for j, u in enumerate(chunk):
+                T = len(loglikes[u])
+                out[u] = decs[u]._finish(finals[j], bps[j][:T], T,
+                                         init_bps[j])
+    return out
 
 
 def equal_align(graph_fst: Fst, trans_model, num_frames: int,

@@ -207,15 +207,15 @@ class DeltasTrainer:
         return am, tm
 
     def _align_all(self, am, graphs, feats, utts):
+        """Batched realignment (see MonophoneTrainer._align_all)."""
+        from kaldi_aslp_tpu.decoder.viterbi import align_batched
         packed = am.pack()
-        out = {}
-        for u in utts:
-            ll = gmm_loglikes_bucketed(feats[u], packed)
-            dec = ViterbiDecoder(PackedGraph.from_fst(graphs[u]),
-                                 self._tid_pdf_lut, acoustic_scale=1.0)
-            _, ali, _ = dec.decode(ll)
-            out[u] = ali
-        return out
+        lls = {u: np.asarray(gmm_loglikes_bucketed(feats[u], packed))
+               for u in utts}
+        pgs = {u: PackedGraph.from_fst(graphs[u]) for u in utts}
+        res = align_batched(pgs, self._tid_pdf_lut, lls,
+                            acoustic_scale=1.0)
+        return {u: res[u][1] for u in utts}
 
     def _reestimate(self, am, tm, feats, alignments, utts):
         stats = GmmStats(am)

@@ -152,17 +152,19 @@ class MonophoneTrainer:
         )
 
     def _align_all(self, am, graphs, feats, utts):
+        """Batched realignment: all utterances' per-utt graphs through
+        one device program per shape bucket (align_batched — the
+        per-utterance dispatch loop this replaces was RTT-bound through
+        the remote-device tunnel, ~30+ min per realign pass at 500
+        utts while the chip idled)."""
+        from kaldi_aslp_tpu.decoder.viterbi import align_batched
         packed = am.pack()
-        out = {}
-        for u in utts:
-            ll = gmm_loglikes_bucketed(feats[u], packed)
-            dec = ViterbiDecoder(
-                PackedGraph.from_fst(graphs[u]), self._tid_pdf_lut,
-                acoustic_scale=1.0,  # alignment uses unscaled likelihoods
-            )
-            _, ali, _ = dec.decode(ll)
-            out[u] = ali
-        return out
+        lls = {u: np.asarray(gmm_loglikes_bucketed(feats[u], packed))
+               for u in utts}
+        pgs = {u: PackedGraph.from_fst(graphs[u]) for u in utts}
+        res = align_batched(pgs, self._tid_pdf_lut, lls,
+                            acoustic_scale=1.0)
+        return {u: res[u][1] for u in utts}
 
     def align(self, am: AmDiagGmm, feats: Dict[str, np.ndarray],
               transcripts: Dict[str, List[str]]) -> Dict[str, np.ndarray]:

@@ -167,3 +167,39 @@ def test_alignment_quality(rng):
              lang.phones.sym(p) != "SIL"]
     want = ["Y" if w == "YES" else "N" for w in texts[u]]
     assert names == want
+
+
+def test_align_batched_matches_per_utterance(rng):
+    """align_batched (one device program per shape bucket, amortizing
+    the per-utterance dispatch RTT) returns EXACTLY what the
+    per-utterance ViterbiDecoder path returns — words, alignment and
+    score — including across utterances that land in different shape
+    buckets (ragged lengths + ragged graphs)."""
+    from kaldi_aslp_tpu.decoder.viterbi import align_batched
+    from kaldi_aslp_tpu.gmm.mono import gmm_loglikes_bucketed
+
+    lang = _toy_lang()
+    feats, texts = _synth_corpus(rng, lang, num_utts=9, words_per_utt=3)
+    # ragged: drop frames from some utterances
+    for i, u in enumerate(sorted(feats)):
+        feats[u] = feats[u][: len(feats[u]) - 7 * i] \
+            if len(feats[u]) > 7 * i + 20 else feats[u]
+    opts = MonoTrainOptions(num_iters=4, totgauss=40,
+                            realign_iters="1 2 3")
+    trainer = MonophoneTrainer(lang, opts=opts)
+    am, tm = trainer.train(feats, texts)
+    packed = am.pack()
+    graphs = {u: PackedGraph.from_fst(trainer.compiler.compile(texts[u]))
+              for u in feats}
+    lls = {u: np.asarray(gmm_loglikes_bucketed(feats[u], packed))
+           for u in feats}
+    lut = trainer._tid_pdf_lut
+
+    res = align_batched(graphs, lut, lls, acoustic_scale=1.0, batch=4)
+    for u in feats:
+        dec = ViterbiDecoder(graphs[u], lut, acoustic_scale=1.0)
+        words, ali, score = dec.decode(lls[u])
+        bw, bali, bscore = res[u]
+        assert bw == words, u
+        assert np.array_equal(bali, ali), u
+        assert abs(bscore - score) < 1e-3, u
