@@ -271,12 +271,58 @@ def _best_band(finals: Dict[str, float], k: int = 5) -> float:
                for i in range(len(vals) - k + 1))
 
 
+def run_comparison_subprocess(n_devices: int, rounds: int, lr: float,
+                              strategies: Sequence[str] = ALL_STRATEGIES,
+                              repo_root: Optional[str] = None,
+                              retries: int = 2,
+                              timeout_s: int = 1500) -> Dict[str, list]:
+    """Run the hard_blstm comparison with ONE SUBPROCESS PER STRATEGY,
+    retrying each on failure, and merge the trajectories.
+
+    Why: an N-virtual-device CPU mesh's first collective can deadlock
+    at startup when the host has fewer cores than mesh participants
+    (all participants of one allreduce must hold a pool thread
+    simultaneously; observed as a rendezvous stuck at op_id=1 forever,
+    or a hard abort at the 40 s terminate timeout).  Runs that survive
+    the first collective complete hundreds of rounds reliably, so
+    killing + retrying a stuck strategy converges quickly — and one
+    stuck strategy cannot take the others (or the caller) down.  The
+    data/init are seed-deterministic, so per-strategy processes train
+    on IDENTICAL rounds."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = repo_root or os.getcwd()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_devices} "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=120 "
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=60")
+    out: Dict[str, list] = {}
+    for strat in strategies:
+        for _ in range(retries):
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-m",
+                     "kaldi_aslp_tpu.parallel.convergence",
+                     str(n_devices), str(rounds), str(lr), strat],
+                    capture_output=True, text=True, timeout=timeout_s,
+                    env=env, cwd=root)
+                if p.returncode == 0:
+                    res = json.loads(p.stdout.strip().split("\n")[-1])
+                    out.update(res)
+                    break
+            except Exception:
+                continue
+    return out
+
+
 if __name__ == "__main__":
-    # subprocess entry for __graft_entry__.dryrun_multichip and the
-    # slow test: the 8-virtual-device CPU mesh's collective rendezvous
-    # can abort the PROCESS under host contention, so callers isolate
-    # the comparison and retry (run with
-    # --xla_cpu_collective_call_terminate_timeout_seconds raised).
+    # subprocess entry for run_comparison_subprocess (one strategy per
+    # process — see its docstring for why).
     import json
     import sys
 
@@ -293,8 +339,10 @@ if __name__ == "__main__":
     # validated operating point (round-4 tuning scans): 300 rounds at
     # lr 1.0, no halving — 5 of 6 strategies land in a 1.21x band
     # (masgd overshoots late at the shared lr; reported, not asserted)
+    strats = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 \
+        else ALL_STRATEGIES
     res = run_convergence_comparison(
         n, n_rounds=rounds, learn_rate=lr, per_device_batch=8,
-        strategies=ALL_STRATEGIES, task="hard_blstm")
+        strategies=strats, task="hard_blstm")
     print(json.dumps({k: [round(float(x), 4) for x in v]
                       for k, v in res.items()}))

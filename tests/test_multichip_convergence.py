@@ -68,29 +68,22 @@ def test_blstm_hardcorpus_six_strategy_band():
     rendezvous hard-aborts the process under host contention, which
     must not take pytest down (the raised terminate timeout makes the
     straggler wait instead where possible)."""
-    import json
     import os
-    import subprocess
-    import sys
 
-    from kaldi_aslp_tpu.parallel.convergence import _best_band
+    from kaldi_aslp_tpu.parallel.convergence import (
+        _best_band,
+        run_comparison_subprocess,
+    )
 
-    env = {**os.environ, "JAX_PLATFORMS": "cpu",
-           "XLA_FLAGS":
-               "--xla_force_host_platform_device_count=8 "
-               "--xla_cpu_collective_call_terminate_timeout_seconds=900 "
-               "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120"}
-    out = subprocess.run(
-        [sys.executable, "-m", "kaldi_aslp_tpu.parallel.convergence",
-         "8", "300", "1.0"],
-        capture_output=True, text=True, timeout=2400, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    if out.returncode != 0:
-        pytest.skip("mesh subprocess aborted (collective rendezvous "
-                    f"under host contention): rc={out.returncode}")
-    res = json.loads(out.stdout.strip().split("\n")[-1])
+    res = run_comparison_subprocess(
+        8, 300, 1.0,
+        repo_root=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    if len(res) < 5:
+        pytest.skip("mesh subprocesses kept deadlocking under host "
+                    f"contention; only {sorted(res)} completed")
     finals = {k: v[-1] for k, v in res.items()}
-    init = res["bsp"][0]
+    init = next(iter(res.values()))[0]
     conv = {k: v for k, v in finals.items() if v < 0.55 * init}
     assert len(conv) >= 5, finals
     assert _best_band(conv, 5) <= 1.25, finals
