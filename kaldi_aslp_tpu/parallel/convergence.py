@@ -274,8 +274,8 @@ def _best_band(finals: Dict[str, float], k: int = 5) -> float:
 def run_comparison_subprocess(n_devices: int, rounds: int, lr: float,
                               strategies: Sequence[str] = ALL_STRATEGIES,
                               repo_root: Optional[str] = None,
-                              retries: int = 2,
-                              timeout_s: int = 1500) -> Dict[str, list]:
+                              retries: int = 3,
+                              timeout_s: int = 1800) -> Dict[str, list]:
     """Run the hard_blstm comparison with ONE SUBPROCESS PER STRATEGY,
     retrying each on failure, and merge the trajectories.
 

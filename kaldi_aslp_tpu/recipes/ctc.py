@@ -264,6 +264,13 @@ class CtcRecipe:
             hyps[u] = [self.lang.words.sym(w) for w in words_out]
         stats = score_utterances(test_texts, hyps)
         logger.info("%s", stats.report())
+        # expose the trained system for follow-on probes (budget
+        # sweeps, rescoring experiments) without retraining
+        self.best_params = best
+        self.net = net
+        self.log_priors = log_priors
+        self.tlg = tlg
+        self.posteriors = posteriors
         return stats
 
     def _build_net(self, input_dim: int, num_outputs: int) -> Nnet:

@@ -81,16 +81,24 @@ class _Scale:
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 128, 2, 8
             self.ctc_hidden, self.ctc_layers, self.ctc_iters = 96, 2, 220
         elif name == "medium":
+            # 1500 train utts (~78 min audio): the round-4 500-utt run
+            # was DATA-STARVED for context-dependent modelling — tri
+            # lost to mono (35.97 vs 30.99 test WER) and a
+            # (leaves, totgauss) dev sweep improved tri only to dev
+            # 34.49 vs mono's 32.32, while the reference's corpora give
+            # tri systems hours of audio (egs/rm ~4 h).  3x data plus
+            # the sweep-selected (250 leaves, 1200 gauss) restores the
+            # data:parameter ratio the published ladders assume.
             self.corpus = HardCorpusOptions(
                 num_words=1000, num_train_speakers=24,
                 num_test_speakers=6, num_dev_speakers=6)
-            self.num_train, self.num_test, self.lm_mult = 500, 100, 10
+            self.num_train, self.num_test, self.lm_mult = 1500, 100, 4
             self.num_dev = 60
             self.mono = MonoTrainOptions(
                 num_iters=12, totgauss=700,
                 realign_iters="1 2 3 4 5 6 8 10")
             self.tri = DeltasTrainOptions(
-                num_iters=10, totgauss=2500, num_leaves=250,
+                num_iters=10, totgauss=1200, num_leaves=250,
                 realign_iters="2 4 6 8", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 256, 3, 12
             self.ctc_hidden, self.ctc_layers, self.ctc_iters = 160, 3, 60
@@ -252,6 +260,7 @@ def run(root: str = "exp_hard", scale: str = "full",
         st = ctc.run(train_feats, train_texts, test_feats,
                      corpus["test_texts"], grammar=G,
                      work_dir=os.path.join(root, "ctc"))
+        artifacts["ctc_recipe"] = ctc   # trained system for probes
         results["ctc"] = st.wer
         logger.info("blstm-ctc WER %.2f greedy-PER %.2f (reference "
                     "role: aslp_scripts/ctc + egs/hkust DNN<LSTM "
