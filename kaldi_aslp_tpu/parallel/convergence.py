@@ -251,7 +251,13 @@ def run_convergence_comparison(
         import jax.tree_util as jtu2
         for i, batch in enumerate(rounds):
             workers, opt_w, _ = ps_step(workers, opt_w, batch, lrs[i])
-            avg = jtu2.tree_map(lambda v: v.mean(0), workers)
+            # HOST gather + host mean: an eager `.mean(0)` over the
+            # worker-sharded axis launches one 8-participant allreduce
+            # PER LEAF PER ROUND — hundreds of separate rendezvous, each
+            # a deadlock opportunity on an oversubscribed host (the
+            # reference's SOD server is host-side anyway, sod-worker.cc)
+            avg = jtu2.tree_map(
+                lambda v: np.asarray(v).mean(0), workers)
             w_global, sod = sod_sync(sod, avg)
             workers = stack_worker_states(w_global, n_devices)
             traj.append(float(eval_loss(w_global)))
