@@ -209,9 +209,9 @@ class DeltasTrainer:
     def _align_all(self, am, graphs, feats, utts):
         """Batched realignment (see MonophoneTrainer._align_all)."""
         from kaldi_aslp_tpu.decoder.viterbi import align_batched
+        from kaldi_aslp_tpu.gmm.diag_gmm import corpus_loglikes
         packed = am.pack()
-        lls = {u: np.asarray(gmm_loglikes_bucketed(feats[u], packed))
-               for u in utts}
+        lls = corpus_loglikes(feats, utts, packed)
         pgs = {u: PackedGraph.from_fst(graphs[u]) for u in utts}
         res = align_batched(pgs, self._tid_pdf_lut, lls,
                             acoustic_scale=1.0)

@@ -21,6 +21,7 @@ from kaldi_aslp_tpu.hmm.transition_model import TransitionModel
 from kaldi_aslp_tpu.gmm.diag_gmm import (
     AmDiagGmm,
     GmmStats,
+    corpus_loglikes,
     gmm_loglikes,
     gmm_loglikes_bucketed,
     mle_update,
@@ -156,11 +157,12 @@ class MonophoneTrainer:
         one device program per shape bucket (align_batched — the
         per-utterance dispatch loop this replaces was RTT-bound through
         the remote-device tunnel, ~30+ min per realign pass at 500
-        utts while the chip idled)."""
+        utts while the chip idled).  Loglikes are likewise computed
+        over CONCATENATED frame blocks (one program + one fetch per
+        ~0.5M frames) instead of one dispatch+fetch per utterance."""
         from kaldi_aslp_tpu.decoder.viterbi import align_batched
         packed = am.pack()
-        lls = {u: np.asarray(gmm_loglikes_bucketed(feats[u], packed))
-               for u in utts}
+        lls = corpus_loglikes(feats, utts, packed)
         pgs = {u: PackedGraph.from_fst(graphs[u]) for u in utts}
         res = align_batched(pgs, self._tid_pdf_lut, lls,
                             acoustic_scale=1.0)
