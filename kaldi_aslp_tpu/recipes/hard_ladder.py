@@ -301,6 +301,11 @@ def pruning_sensitivity(artifacts, degraded_beam: float = 6.0,
 
 
 if __name__ == "__main__":
+    # axon sitecustomize pins JAX_PLATFORMS before any code runs; the
+    # env var cannot override it — only jax.config can (CLAUDE.md trap)
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     root = args[0] if args else "exp_hard"
     scale = "full"
