@@ -271,6 +271,17 @@ class CtcRecipe:
         self.log_priors = log_priors
         self.tlg = tlg
         self.posteriors = posteriors
+        # persist the final model so probes survive the process (the
+        # reference keeps $dir/final.nnet for exactly this reason —
+        # aslp_scripts train_scheduler.sh's final model link); newbob
+        # only checkpoints its own schedule state
+        import os as _os
+        from kaldi_aslp_tpu.train import save_checkpoint
+        _os.makedirs(work_dir, exist_ok=True)
+        save_checkpoint(_os.path.join(work_dir, "final.ckpt"), best,
+                        model_states={"log_priors": log_priors},
+                        meta={"greedy_per": float(per.wer),
+                              "wer": float(stats.wer)})
         return stats
 
     def _build_net(self, input_dim: int, num_outputs: int) -> Nnet:

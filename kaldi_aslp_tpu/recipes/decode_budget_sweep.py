@@ -30,6 +30,8 @@ from kaldi_aslp_tpu.fst.lang import arpa_to_fst
 from kaldi_aslp_tpu.gmm import MonophoneTrainer, gmm_loglikes
 from kaldi_aslp_tpu.decoder import PackedGraph
 from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
+from kaldi_aslp_tpu.fst.ctc_graph import ctc_lut
+from kaldi_aslp_tpu.ops.edit_distance import score_utterances
 from kaldi_aslp_tpu.recipes.hard_corpus import build_corpus
 from kaldi_aslp_tpu.recipes.hard_ladder import _Scale, GMM_BEAM
 from kaldi_aslp_tpu.recipes.score_util import decode_wer_beam
@@ -74,6 +76,47 @@ def run(scale: str = "medium",
         logger.info("max_active %5d: dev WER %6.2f  (%.1fs)", K, wer, dt)
     print("BUDGET_SWEEP " + " ".join(f"{k}={v:.2f}"
                                      for k, v in results.items()))
+    return results
+
+
+def nn_budget_sweep(ctc, dev_feats: Dict[str, "np.ndarray"],
+                    dev_texts: Dict[str, list],
+                    budgets: Optional[List[int]] = None
+                    ) -> Dict[int, float]:
+    """Frontier-budget vs WER sweep on a TRAINED CTC system's dev set.
+
+    The GMM-side sweep (run() above) measures the weak-acoustics case:
+    beam-96 monophone loglikes need the full budget.  This measures the
+    case the tuned bulk-decode operating point (bench decode10s_tuned_*,
+    K=512) is licensed on: sharp NN posteriors at beam 32, where the
+    beam itself keeps the live frontier small and reduced K should hold
+    WER.  Decodes with the recipe's OWN settings (acoustic scale,
+    prior division, lfr) so the K column is the only variable."""
+    budgets = budgets or [2048, 1024, 512, 256]
+    csr = CsrGraph.from_packed(PackedGraph.from_fst(ctc.tlg))
+    lut = ctc_lut(len(ctc.lang.phones) + 1)
+    dev_logp = {u: ctc.posteriors(f) - ctc.log_priors
+                for u, f in dev_feats.items()}
+    results: Dict[int, float] = {}
+    for K in budgets:
+        dec = BeamSearchDecoder(csr, lut,
+                                acoustic_scale=ctc.opts.acoustic_scale,
+                                beam=ctc.opts.decode_beam or 32.0,
+                                max_active=K)
+        hyps = {}
+        t0 = time.time()
+        for u in sorted(dev_logp):
+            try:
+                words_out, _, _ = dec.decode(jnp.asarray(dev_logp[u]))
+            except RuntimeError:
+                words_out = []
+            hyps[u] = [ctc.lang.words.sym(w) for w in words_out]
+        stats = score_utterances(dev_texts, hyps)
+        results[K] = stats.wer
+        logger.info("NN max_active %5d: dev WER %6.2f  (%.1fs)",
+                    K, stats.wer, time.time() - t0)
+    print("NN_BUDGET_SWEEP_DEV " + " ".join(
+        f"{k}={v:.2f}" for k, v in results.items()))
     return results
 
 

@@ -319,4 +319,14 @@ if __name__ == "__main__":
         if a.startswith("--stages="):
             stages = a.split("=", 1)[1].split(",")
     out = run(root, scale=scale, stages=stages)
+    # NN-side frontier-budget evidence on the freshly-trained CTC
+    # system (the trained model lives in run.artifacts; the dev sweep
+    # licenses the tuned bulk-decode operating point on sharp
+    # acoustics — see recipes/decode_budget_sweep.py)
+    art = run.artifacts
+    if "ctc_recipe" in art and art["corpus"].get("dev_feats"):
+        from kaldi_aslp_tpu.recipes.decode_budget_sweep import \
+            nn_budget_sweep
+        nn_budget_sweep(art["ctc_recipe"], art["corpus"]["dev_feats"],
+                        art["corpus"]["dev_texts"])
     sys.exit(0)
