@@ -203,6 +203,12 @@ class DeltasTrainer:
                 am = split_gaussians(am, cur_gauss, self._last_occ,
                                      seed=it)
             am = self._reestimate(am, tm, feats, alignments, utts)
+            # per-iteration progress line (train_deltas.sh "Pass N")
+            logger.info("iter %d/%d: %d gauss%s", it,
+                        opts.num_iters - 1, cur_gauss,
+                        ", realigned (avg ll/frame %.3f)"
+                        % self._last_align_ll
+                        if it in realign else "")
         self._final_alignments = alignments
         return am, tm
 
@@ -215,6 +221,9 @@ class DeltasTrainer:
         pgs = {u: PackedGraph.from_fst(graphs[u]) for u in utts}
         res = align_batched(pgs, self._tid_pdf_lut, lls,
                             acoustic_scale=1.0)
+        nfr = sum(len(lls[u]) for u in utts)
+        self._last_align_ll = (sum(res[u][2] for u in utts)
+                               / max(nfr, 1))
         return {u: res[u][1] for u in utts}
 
     def _reestimate(self, am, tm, feats, alignments, utts):

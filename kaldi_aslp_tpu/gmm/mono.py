@@ -118,6 +118,14 @@ class MonophoneTrainer:
                 )
                 am = split_gaussians(am, cur_gauss, occ, seed=it)
             am = self._reestimate(am, feats, alignments, utts)
+            # per-iteration progress line (the train_mono.sh "Pass N"
+            # + gmm-align log-likelihood role): without it a corpus-
+            # scale run is silent for its whole GMM stage
+            logger.info("iter %d/%d: %d gauss%s", it,
+                        opts.num_iters - 1, cur_gauss,
+                        ", realigned (avg ll/frame %.3f)"
+                        % self._last_align_ll
+                        if it in realign_iters else "")
         self._final_alignments = alignments
         return am, self.trans_model
 
@@ -166,6 +174,9 @@ class MonophoneTrainer:
         pgs = {u: PackedGraph.from_fst(graphs[u]) for u in utts}
         res = align_batched(pgs, self._tid_pdf_lut, lls,
                             acoustic_scale=1.0)
+        nfr = sum(len(lls[u]) for u in utts)
+        self._last_align_ll = (sum(res[u][2] for u in utts)
+                               / max(nfr, 1))
         return {u: res[u][1] for u in utts}
 
     def align(self, am: AmDiagGmm, feats: Dict[str, np.ndarray],
