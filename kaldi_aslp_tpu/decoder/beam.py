@@ -47,6 +47,13 @@ from kaldi_aslp_tpu.decoder.viterbi import NEG_INF, PackedGraph
 from kaldi_aslp_tpu.decoder.lattice import Lattice, LatticeArc
 from kaldi_aslp_tpu.utils.log import get_logger
 
+# Negative result, measured round 4 (540k graph, T=6000): lax.scan
+# unroll=2/4 on the forward and prune scans changed NOTHING (fwd 2.11 /
+# prune 2.09 s vs 2.08 / 2.10 at unroll=1) — the per-frame cost is op
+# EXECUTION (each op's fixed launch latency), which unrolling does not
+# reduce; only lowering the op count per frame does (e.g. packing the
+# 5 record fields into one scan output cut fwd 2.59 -> 2.08 s).
+
 
 @dataclass
 class CsrGraph:
@@ -348,11 +355,7 @@ def _beam_scan(
 
         stage_arc = []
         stage_slot = []
-        rec_arc = []
-        rec_sc = []
-        rec_src = []
-        rec_dst = []
-        rec_dl = []
+        rec_pk = []
         rec_cnt = []
 
         def record(arc_pos_v, sc_vals, src_vals, dst_vals, dl_vals,
@@ -368,7 +371,16 @@ def _beam_scan(
             ride along so the backward prune needs NO packed-arc
             re-gathers at all (TPU random gathers measured ~1 GB/s —
             re-reading em_pack/ep_pack per chunk cost more than the
-            whole prune scan)."""
+            whole prune scan).
+
+            The 5 fields are PACKED fields-major into one [5, W] int32
+            plane (floats bitcast): each plane was a separate lax.scan
+            output, i.e. a separate dynamic-update-slice per frame, and
+            the per-iteration output writes — not the bytes — are what
+            made the record-mode forward scan +1.05 s over best-path at
+            T=6000 (~17 us per extra output per frame).  Fields-major
+            keeps W in the minor dimension (lane axis); [W, 5] would
+            pad the 5 up to the 128-lane tile."""
             ra = jnp.where(ok_v, arc_pos_v, -1)
             rs = jnp.where(ok_v, sc_vals, NEG_INF)
             rr = jnp.where(ok_v, src_vals, -1)
@@ -386,11 +398,9 @@ def _beam_scan(
                 rd = jnp.where(alive, rd[sel], -1)
                 rl = jnp.where(alive, rl[sel], NEG_INF)
                 rs = top
-            rec_arc.append(ra)
-            rec_sc.append(rs)
-            rec_src.append(rr)
-            rec_dst.append(rd)
-            rec_dl.append(rl)
+            bits = partial(jax.lax.bitcast_convert_type,
+                           new_dtype=jnp.int32)
+            rec_pk.append(jnp.stack([ra, bits(rs), rr, rd, bits(rl)]))
 
         # ---- stage 0: emitting arcs consume the acoustic frame ----
         # one row gather per arc: the packed [N, 3] layout (dst, pdf,
@@ -459,24 +469,13 @@ def _beam_scan(
             [jnp.where(v_t, s, ident) for s in stage_slot])
         out = (arcs_out, slots_out, sc)
         if record_lattice:
-            # em planes at natural [A_em] width (or the record budget);
-            # eps planes stacked at [eps_rounds, width] (zero-size when
-            # the graph has no eps arcs)
+            # em plane at natural [5, A_em] width (or the record
+            # budget); eps planes stacked at [eps_rounds, 5, width]
+            # (zero-size when the graph has no eps arcs)
             eps_w = min(rec_budget, A) if rec_budget else A
-
-            def eps_stack(xs, fill, dtype):
-                if len(xs) > 1:
-                    return jnp.stack(xs[1:])
-                return jnp.full((0, eps_w), fill, dtype)
-
-            out = out + (rec_arc[0], rec_sc[0], rec_src[0],
-                         rec_dst[0], rec_dl[0],
-                         eps_stack(rec_arc, -1, jnp.int32),
-                         eps_stack(rec_sc, NEG_INF, jnp.float32),
-                         eps_stack(rec_src, -1, jnp.int32),
-                         eps_stack(rec_dst, -1, jnp.int32),
-                         eps_stack(rec_dl, NEG_INF, jnp.float32),
-                         jnp.stack(rec_cnt))
+            eps_pk = (jnp.stack(rec_pk[1:]) if len(rec_pk) > 1
+                      else jnp.zeros((0, 5, eps_w), jnp.int32))
+            out = out + (rec_pk[0], eps_pk, jnp.stack(rec_cnt))
         st = jnp.where(v_t, st, carry[0])
         sc = jnp.where(v_t, sc, carry[1])
         return (st, sc), out
@@ -529,14 +528,15 @@ def _bs_left(keys: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("R_em", "R_ep"))
-def _compact_record_chunk(em_pos, em_sc, em_src, em_dst, em_dl,
-                          eps_pos, eps_sc, eps_src, eps_dst, eps_dl,
-                          R_em: int, R_ep: int):
-    """Batched (non-scan) compaction of one chunk's record planes to
-    the measured live width: a 6-operand sort per stage moves live
-    entries (pos >= 0) to the front of each row, then the row is
-    sliced to R.  EXACT — the caller sizes R_em/R_ep from the per-frame
-    live counts the forward scan emits, so nothing can be dropped.
+def _compact_record_chunk(em_pk, eps_pk, R_em: int, R_ep: int):
+    """Batched (non-scan) compaction of one chunk's PACKED record
+    planes ([..., 5, W] fields-major int32, see _beam_scan's record())
+    to the measured live width: a stable (key, index) sort per stage
+    finds the permutation moving live entries (pos >= 0) to the front
+    of each row, one take_along_axis applies it to all 5 field rows,
+    then the rows are sliced to R.  EXACT — the caller sizes R_em/R_ep
+    from the per-frame live counts the forward scan emits, so nothing
+    can be dropped.
 
     Why outside the scan: the prune scan's per-frame gather/scatter
     cost is proportional to the STATIC plane width (measured ~28 ns/row
@@ -546,33 +546,27 @@ def _compact_record_chunk(em_pos, em_sc, em_src, em_dst, em_dl,
     lattice wall 5.1 -> 8.7 s).  Sorting HERE is batched across the
     whole chunk with no sequential dependency, which is where TPU sorts
     are cheap."""
-    def compact(pos, sc, src, dst, dl, R):
-        W = pos.shape[-1]
+    def compact(pk, R):
+        W = pk.shape[-1]
         if R >= W:
-            return pos, sc, src, dst, dl
+            return pk
+        pos = pk[..., 0, :]
         key = jnp.where(pos >= 0, jnp.int32(0), jnp.int32(1))
-        _, pos, sc, src, dst, dl = jax.lax.sort(
-            (key, pos, sc, src, dst, dl), num_keys=1, dimension=-1)
-        return (pos[..., :R], sc[..., :R], src[..., :R],
-                dst[..., :R], dl[..., :R])
+        idx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32),
+                               pos.shape)
+        _, perm = jax.lax.sort((key, idx), num_keys=1, dimension=-1)
+        g = jnp.take_along_axis(pk, perm[..., None, :], axis=-1)
+        return g[..., :R]
 
-    em = compact(em_pos, em_sc, em_src, em_dst, em_dl, R_em)
-    ep = compact(eps_pos, eps_sc, eps_src, eps_dst, eps_dl, R_ep)
-    return em + ep
+    return compact(em_pk, R_em), compact(eps_pk, R_ep)
 
 
 @partial(jax.jit, static_argnames=("stages", "chunk", "R_pr"))
 def _record_prune_chunk(
-    em_pos,              # [chunk, Wm] CSR positions, -1 pad
-    em_sc,               # [chunk, Wm] forward-through-arc scores
-    em_src,              # [chunk, Wm] source states, -1 pad
-    em_dst,              # [chunk, Wm] destination states, -1 pad
-    em_dl,               # [chunk, Wm] ac - w "delta" per arc
-    eps_pos,             # [chunk, stages-1, Wp] eps-stage planes
-    eps_sc,              # [chunk, stages-1, Wp]
-    eps_src,             # [chunk, stages-1, Wp]
-    eps_dst,             # [chunk, stages-1, Wp]
-    eps_dl,              # [chunk, stages-1, Wp] -w per eps arc
+    em_pk,               # [chunk, 5, Wm] packed em records (fields
+    #                      pos/sc/src/dst/dl; sc+dl are f32 bitcast —
+    #                      see _beam_scan's record())
+    eps_pk,              # [chunk, stages-1, 5, Wp] packed eps records
     valid,               # [chunk] bool: frame < total_t
     em_arc, ep_arc,      # CSR position → global arc id
     V,                   # [S] f32 dense backward values (carry; seeded
@@ -605,21 +599,27 @@ def _record_prune_chunk(
     E = stages - 1
     S = V.shape[0]
 
+    em_pos = em_pk[:, 0]
     live_m = em_pos >= 0
     arcid_m = jnp.where(live_m, em_arc[jnp.maximum(em_pos, 0)], -1)
     eps_arcid = []
     for s in range(E):
-        pos = eps_pos[:, s]
+        pos = eps_pk[:, s, 0]
         eps_arcid.append(
             jnp.where(pos >= 0, ep_arc[jnp.maximum(pos, 0)], -1))
 
-    em_scan = dict(sc=em_sc, src=em_src, dst=em_dst, dl=em_dl)
-    eps_scan = [dict(sc=eps_sc[:, s], src=eps_src[:, s],
-                     dst=eps_dst[:, s], dl=eps_dl[:, s])
-                for s in range(E)]
+    def unpack(row):
+        """[5, W] packed field rows → the scan body's field dict (the
+        bitcasts are free reinterprets; row slices are contiguous)."""
+        f32 = partial(jax.lax.bitcast_convert_type,
+                      new_dtype=jnp.float32)
+        return dict(sc=f32(row[1]), src=row[2], dst=row[3],
+                    dl=f32(row[4]))
 
     def step(V, xs):
-        em, eps, v_t = xs
+        em_row, eps_rows, v_t = xs
+        em = unpack(em_row)
+        eps = [unpack(eps_rows[s]) for s in range(E)]
         # eps stages in reverse: stage s continues via LATER eps
         # stages of the same frame and via the next frame's em (V)
         veps = []
@@ -654,7 +654,7 @@ def _record_prune_chunk(
         return Vn, (tot_m, tot_e_out)
 
     V2, (tot_m_all, tot_e_all) = jax.lax.scan(
-        step, V, (em_scan, eps_scan, valid), reverse=True)
+        step, V, (em_pk, eps_pk, valid), reverse=True)
 
     # ---- batched post: threshold, exact counts, top-R_pr compaction
     # to global arc ids ----
@@ -1037,17 +1037,16 @@ class BeamSearchDecoder:
         R = 0 if est_bytes <= self.record_mem_bytes \
             else self.rec_fwd_budget
         dev_arc, dev_slot = [], []
-        dev_planes = []   # per chunk: (em_pos, em_sc, em_src, em_dst,
-        #                   em_dl, eps_pos, eps_sc, eps_src, eps_dst,
-        #                   eps_dl)
+        dev_planes = []   # per chunk: (em_pk [chunk, 5, Wm],
+        #                   eps_pk [chunk, E, 5, Wp]) packed planes
         cnts = []
         for t0 in range(0, T, self.chunk):
             (st, sc), outs = self._scan_chunk(ll_dev, t0, T, st, sc,
                                               True, R)
             dev_arc.append(outs[0])
             dev_slot.append(outs[1])
-            dev_planes.append(outs[3:13])
-            cnts.append(outs[13])
+            dev_planes.append(outs[3:5])
+            cnts.append(outs[5])
         width = max(self.A, self.A_em)
         while R and R < width and T > 0:
             max_cnt = int(jnp.max(jnp.concatenate(cnts)))
@@ -1060,8 +1059,8 @@ class BeamSearchDecoder:
             for t0 in range(0, T, self.chunk):
                 (st2, sc2), outs = self._scan_chunk(
                     ll_dev, t0, T, st2, sc2, True, R)
-                dev_planes.append(outs[3:13])
-                cnts.append(outs[13])
+                dev_planes.append(outs[3:5])
+                cnts.append(outs[5])
         if T > 0 and self.compact_prune_inputs:
             # one fetch of the per-frame live counts sizes the compacted
             # planes EXACTLY (nothing dropped); the prune scan's cost is
@@ -1070,7 +1069,7 @@ class BeamSearchDecoder:
             # records) while a saturated em stage is left alone
             c = np.asarray(jnp.concatenate(cnts))[:T]
             Wm = dev_planes[0][0].shape[-1]
-            Wp = dev_planes[0][5].shape[-1] if self.eps_rounds else 0
+            Wp = dev_planes[0][1].shape[-1] if self.eps_rounds else 0
 
             def pow2(n):
                 return 1 << max(int(n) - 1, 0).bit_length()
@@ -1136,7 +1135,7 @@ class BeamSearchDecoder:
         # record entries per frame, from the actual (possibly budget-
         # compacted) plane widths
         width = dev_planes[0][0].shape[-1] \
-            + self.eps_rounds * dev_planes[0][5].shape[-1]
+            + self.eps_rounds * dev_planes[0][1].shape[-1]
         thresh = jnp.float32(best_score - lattice_beam
                              - self.record_prune_margin)
         n_chunks = len(dev_planes)

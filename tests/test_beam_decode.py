@@ -534,7 +534,7 @@ def test_record_prune_matches_numpy_mirror():
     planes = []
     for t0 in range(0, T, dec.chunk):
         (st, sc), outs = dec._scan_chunk(ll_dev, t0, T, st, sc, True, 0)
-        planes.append([np.asarray(x) for x in outs[3:13]])
+        planes.append([np.asarray(x) for x in outs[3:5]])
     states, scores = np.asarray(st), np.asarray(sc)
     k, best_score, is_final = dec._best_final(states, scores)
     pseudo = None if is_final else (states, scores)
@@ -546,13 +546,17 @@ def test_record_prune_matches_numpy_mirror():
     dev_kept = [set(rec_arcs[rec_tt == t]) for t in range(T)]
 
     # ---- numpy mirror (recomputes ac/w from the packed arc tables —
-    # independently checks the recorded dst/delta planes too) ----
-    em_pos = np.concatenate([p[0] for p in planes])[:T]
-    em_sc = np.concatenate([p[1] for p in planes])[:T]
-    em_src = np.concatenate([p[2] for p in planes])[:T]
-    eps_pos = np.concatenate([p[5] for p in planes])[:T]
-    eps_sc = np.concatenate([p[6] for p in planes])[:T]
-    eps_src = np.concatenate([p[7] for p in planes])[:T]
+    # independently checks the recorded dst/delta planes too; the
+    # record planes are packed fields-major [.., 5, W] int32 with
+    # float fields bitcast — see _beam_scan's record()) ----
+    em_pk = np.concatenate([p[0] for p in planes])[:T]
+    eps_pk = np.concatenate([p[1] for p in planes])[:T]
+    em_pos = em_pk[:, 0]
+    em_sc = em_pk.view(np.float32)[:, 1]
+    em_src = em_pk[:, 2]
+    eps_pos = eps_pk[:, :, 0]
+    eps_sc = eps_pk.view(np.float32)[:, :, 1]
+    eps_src = eps_pk[:, :, 2]
     em_pack = np.asarray(dec._dev["em_pack"])
     ep_pack = np.asarray(dec._dev["ep_pack"])
     em_arc = np.asarray(dec._dev["em_arc"])
@@ -635,7 +639,7 @@ def test_native_lattice_build_matches_numpy(monkeypatch):
     planes = []
     for t0 in range(0, T, dec.chunk):
         (st, sc), outs = dec._scan_chunk(ll_dev, t0, T, st, sc, True, 0)
-        planes.append(outs[3:13])
+        planes.append(outs[3:5])
     k, best, is_final = dec._best_final(np.asarray(st), np.asarray(sc))
     pseudo = None if is_final else (np.asarray(st), np.asarray(sc))
     rec = dec._prune_records_device(planes, ll_dev, T, best, 7.0, pseudo)

@@ -137,16 +137,9 @@ def test_bench_flagship_step_captures_no_device_arrays():
 def test_beam_decoder_compaction_captures_no_device_arrays():
     from kaldi_aslp_tpu.decoder.beam import _record_prune_chunk
 
-    em_pos = jnp.full((4, 8), -1, jnp.int32)
-    em_sc = jnp.full((4, 8), -1e30, jnp.float32)
-    em_src = jnp.full((4, 8), -1, jnp.int32)
-    em_dst = jnp.full((4, 8), -1, jnp.int32)
-    em_dl = jnp.full((4, 8), -1e30, jnp.float32)
-    eps_pos = jnp.full((4, 1, 8), -1, jnp.int32)
-    eps_sc = jnp.full((4, 1, 8), -1e30, jnp.float32)
-    eps_src = jnp.full((4, 1, 8), -1, jnp.int32)
-    eps_dst = jnp.full((4, 1, 8), -1, jnp.int32)
-    eps_dl = jnp.full((4, 1, 8), -1e30, jnp.float32)
+    neg = jax.lax.bitcast_convert_type(jnp.float32(-1e30), jnp.int32)
+    em_pk = jnp.full((4, 5, 8), -1, jnp.int32).at[:, (1, 4)].set(neg)
+    eps_pk = jnp.full((4, 1, 5, 8), -1, jnp.int32).at[:, :, (1, 4)].set(neg)
     valid = jnp.ones((4,), bool)
     em = jnp.arange(5, dtype=jnp.int32)
     ep = jnp.arange(3, dtype=jnp.int32)
@@ -155,6 +148,4 @@ def test_beam_decoder_compaction_captures_no_device_arrays():
         lambda *a: _record_prune_chunk(
             *a, jnp.float32(-10.0),
             stages=2, chunk=4, R_pr=4),
-        em_pos, em_sc, em_src, em_dst, em_dl,
-        eps_pos, eps_sc, eps_src, eps_dst, eps_dl,
-        valid, em, ep, V)
+        em_pk, eps_pk, valid, em, ep, V)
