@@ -109,7 +109,16 @@ class CtcRecipe:
         test_texts: Dict[str, List[str]],
         grammar: Optional[Fst] = None,
         work_dir: str = "exp_ctc",
+        dev_feats: Optional[Dict[str, np.ndarray]] = None,
+        dev_texts: Optional[Dict[str, List[str]]] = None,
     ) -> ErrorStats:
+        """When a dev set is given, (acoustic_scale, prior_scale) are
+        swept on it and the test set is decoded once at the selection —
+        the same dev/test discipline as the GMM/hybrid stages (the
+        dev/test rows of egs/timit/s5/RESULTS; the swept quantities are
+        the --acoustic-scale of decode.sh and the --class-frame-counts
+        prior division of aslp-nnet-forward).  Without a dev set the
+        recipe's fixed options apply (score_basic.sh-style)."""
         opts = self.opts
         V = len(self.lang.phones) + 1  # blank + phones (ids 1..N)
         dim = next(iter(train_feats.values())).shape[1]
@@ -191,6 +200,10 @@ class CtcRecipe:
                 {w: 1.0 / len(words) for w in words}, self.lang.words
             )
         tlg = make_ctc_decode_graph(self.lang, grammar)
+        # acoustic_scale lives OUTSIDE the decoder (scale the loglike
+        # matrix instead): score = graph + s*(logp - p*prior) either
+        # way, and one decoder instance serves the whole dev sweep
+        # without recompiling
         if opts.decode_beam > 0:
             from kaldi_aslp_tpu.decoder.beam import (
                 BeamSearchDecoder,
@@ -198,13 +211,13 @@ class CtcRecipe:
             )
             dec = BeamSearchDecoder(
                 CsrGraph.from_packed(PackedGraph.from_fst(tlg)),
-                ctc_lut(V), acoustic_scale=opts.acoustic_scale,
+                ctc_lut(V), acoustic_scale=1.0,
                 beam=opts.decode_beam,
                 max_active=opts.decode_max_active)
         else:
             dec = ViterbiDecoder(
                 PackedGraph.from_fst(tlg), ctc_lut(V),
-                acoustic_scale=opts.acoustic_scale,
+                acoustic_scale=1.0,
             )
         # padded single-shape forward (per-utterance ragged T would
         # recompile for every new length)
@@ -226,17 +239,53 @@ class CtcRecipe:
             return np.asarray(y[0][:T])
 
         # posterior priors over the training set for Eesen-style
-        # prior-divided decoding
-        log_priors = np.zeros(V, np.float32)
-        if opts.prior_scale > 0:
+        # prior-divided decoding (unscaled base; the applied prior is
+        # prior_scale * base, with prior_scale dev-swept when possible)
+        prior_base = np.zeros(V, np.float32)
+        if opts.prior_scale > 0 or dev_feats:
             acc = np.zeros(V, np.float64)
             n = 0
             for u in sorted(train_feats)[:200]:
                 p = np.exp(posteriors(train_feats[u]))
                 acc += p.sum(0)
                 n += len(p)
-            log_priors = (opts.prior_scale * np.log(
-                np.maximum(acc / n, 1e-10))).astype(np.float32)
+            prior_base = np.log(
+                np.maximum(acc / n, 1e-10)).astype(np.float32)
+
+        chosen_a = opts.acoustic_scale
+        chosen_p = opts.prior_scale
+        self.dev_wer = float("nan")
+        if dev_feats:
+            dev_logp = {u: posteriors(f) for u, f in dev_feats.items()}
+            best_cfg = None
+            for a_s in (0.7, 0.9, 1.1):
+                for p_s in (0.5, 1.0):
+                    hyps = {}
+                    for u in sorted(dev_logp):
+                        m = a_s * (dev_logp[u] - p_s * prior_base)
+                        try:
+                            w_out, _, _ = dec.decode(jnp.asarray(m))
+                        except RuntimeError as e:
+                            logger.warning("dev decode failed on %s "
+                                           "(a=%.1f p=%.1f): %s",
+                                           u, a_s, p_s, e)
+                            w_out = []
+                        hyps[u] = [self.lang.words.sym(w)
+                                   for w in w_out]
+                    st = score_utterances(dev_texts, hyps)
+                    logger.info("dev sweep acoustic %.1f prior %.1f: "
+                                "WER %.2f", a_s, p_s, st.wer)
+                    if best_cfg is None or st.wer < best_cfg[0]:
+                        best_cfg = (st.wer, a_s, p_s)
+            self.dev_wer, chosen_a, chosen_p = best_cfg
+            logger.info("dev-selected acoustic_scale %.1f prior_scale "
+                        "%.1f (dev WER %.2f)", chosen_a, chosen_p,
+                        self.dev_wer)
+            # downstream probes (nn_budget_sweep) read the operating
+            # point off the recipe
+            self.opts.acoustic_scale = chosen_a
+            self.opts.prior_scale = chosen_p
+        log_priors = (chosen_p * prior_base).astype(np.float32)
 
         # greedy CTC phone error rate first: a model-quality signal
         # independent of the decode graph / pruning / LM (the
@@ -259,8 +308,12 @@ class CtcRecipe:
 
         hyps = {}
         for u in sorted(test_feats):
-            logp = test_logp[u] - log_priors
-            words_out, _, _ = dec.decode(logp)
+            m = chosen_a * (test_logp[u] - log_priors)
+            try:
+                words_out, _, _ = dec.decode(jnp.asarray(m))
+            except RuntimeError as e:
+                logger.warning("test decode failed on %s: %s", u, e)
+                words_out = []
             hyps[u] = [self.lang.words.sym(w) for w in words_out]
         stats = score_utterances(test_texts, hyps)
         logger.info("%s", stats.report())

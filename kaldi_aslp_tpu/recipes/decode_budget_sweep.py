@@ -104,17 +104,24 @@ def nn_budget_sweep(ctc, dev_feats: Dict[str, "np.ndarray"],
                                 beam=ctc.opts.decode_beam or 32.0,
                                 max_active=K)
         hyps = {}
+        failures = 0
         t0 = time.time()
         for u in sorted(dev_logp):
             try:
                 words_out, _, _ = dec.decode(jnp.asarray(dev_logp[u]))
-            except RuntimeError:
+            except RuntimeError as e:
+                # scored as a full deletion — log it so a degraded
+                # column is distinguishable from genuine WER loss
+                logger.warning("decode failed at K=%d on %s: %s",
+                               K, u, e)
+                failures += 1
                 words_out = []
             hyps[u] = [ctc.lang.words.sym(w) for w in words_out]
         stats = score_utterances(dev_texts, hyps)
         results[K] = stats.wer
-        logger.info("NN max_active %5d: dev WER %6.2f  (%.1fs)",
-                    K, stats.wer, time.time() - t0)
+        logger.info("NN max_active %5d: dev WER %6.2f  (%.1fs%s)",
+                    K, stats.wer, time.time() - t0,
+                    f", {failures} decode failures" if failures else "")
     print("NN_BUDGET_SWEEP_DEV " + " ".join(
         f"{k}={v:.2f}" for k, v in results.items()))
     return results

@@ -153,6 +153,19 @@ def run(root: str = "exp_hard", scale: str = "full",
     lmwt_range = range(4, 16)
     artifacts: Dict[str, object] = {"corpus": corpus}
 
+    def emit(stage: str) -> None:
+        """Append the stage row to <root>/results.jsonl the moment it
+        lands — long runs leave partial-but-real evidence instead of
+        placeholders (round-4 lesson)."""
+        import json
+        with open(os.path.join(root, "results.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "stage": stage, "scale": scale,
+                "test_wer": results.get(stage),
+                "dev_wer": dev_results.get(stage),
+                "elapsed_s": round(time.time() - t_start, 1),
+            }) + "\n")
+
     def score_stage(name, packed, lut, am_packed) -> tuple:
         """GMM-stage scoring: LMWT selected on dev when a dev set
         exists (on test otherwise — small-scale tests may inject
@@ -189,6 +202,7 @@ def run(root: str = "exp_hard", scale: str = "full",
         dev_results["mono"] = dev_wer
         logger.info("mono WER %.2f (dev %.2f; reference role: egs/rm "
                     "mono 8.74%%, RESULTS:6)", wer, dev_wer)
+        emit("mono")
     else:
         am0p = am0.pack()
         test_ll0 = {u: np.asarray(gmm_loglikes(jnp.asarray(f), *am0p))
@@ -210,6 +224,7 @@ def run(root: str = "exp_hard", scale: str = "full",
         dev_results["tri"] = dev_wer
         logger.info("tri WER %.2f (dev %.2f; reference role: egs/rm "
                     "tri1 3.26%%, RESULTS:9)", wer, dev_wer)
+        emit("tri")
 
     # ---- stage 3: hybrid DNN on the TRIPHONE alignments (run_dnn.sh
     # on exp/tri ali) ----
@@ -235,6 +250,7 @@ def run(root: str = "exp_hard", scale: str = "full",
         dev_results["dnn"] = getattr(hyb, "last_dev_wer", float("nan"))
         logger.info("dnn WER %.2f (reference role: run_dnn.sh on tri "
                     "alignments)", st.wer)
+        emit("dnn")
 
     # ---- stage 4: BLSTM-CTC (aslp_scripts/ctc chain) ----
     if "ctc" in stages:
@@ -259,12 +275,16 @@ def run(root: str = "exp_hard", scale: str = "full",
             acoustic_scale=0.9, decode_beam=32.0))
         st = ctc.run(train_feats, train_texts, test_feats,
                      corpus["test_texts"], grammar=G,
-                     work_dir=os.path.join(root, "ctc"))
+                     work_dir=os.path.join(root, "ctc"),
+                     dev_feats=dev_feats or None,
+                     dev_texts=corpus.get("dev_texts") or None)
         artifacts["ctc_recipe"] = ctc   # trained system for probes
         results["ctc"] = st.wer
+        dev_results["ctc"] = getattr(ctc, "dev_wer", float("nan"))
         logger.info("blstm-ctc WER %.2f greedy-PER %.2f (reference "
                     "role: aslp_scripts/ctc + egs/hkust DNN<LSTM "
                     "ordering)", st.wer, ctc.greedy_per)
+        emit("ctc")
 
     logger.info("==== WER ladder (hard synthetic corpus, scale=%s; "
                 "LMWT tuned on dev, test reported once) ====", scale)
@@ -306,6 +326,13 @@ if __name__ == "__main__":
     if "--cpu" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        # a module imported above may already have initialized the
+        # axon backend, in which case the update is a silent no-op —
+        # make that a visible failure (ADVICE r4)
+        assert jax.devices()[0].platform == "cpu", \
+            "--cpu requested but the JAX backend is already pinned to " \
+            f"{jax.devices()[0].platform}; move the flag handling " \
+            "earlier or run with JAX_PLATFORMS=cpu"
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     root = args[0] if args else "exp_hard"
     scale = "full"
