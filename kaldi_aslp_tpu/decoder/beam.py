@@ -619,36 +619,34 @@ def _record_prune_chunk(
     def step(V, xs):
         em_row, eps_rows, v_t = xs
         em = unpack(em_row)
-        eps = [unpack(eps_rows[s]) for s in range(E)]
-        # eps stages in reverse: stage s continues via LATER eps
-        # stages of the same frame and via the next frame's em (V)
-        veps = []
-        tot_e = []
+        # eps stages in reverse: stage s continues via LATER eps stages
+        # of the same frame and via the next frame's em (V).  ONE
+        # running backward table W (seeded with V) replaces the
+        # per-stage fresh veps tables: when stage s is processed, W
+        # holds exactly V + the contributions of stages k > s — the
+        # only tails stage s may legally use — so each stage costs one
+        # gather + one scatter-max instead of the old 1 + (E - 1 - s)
+        # gathers + fresh-table scatter (round-4 STATUS queued fusion).
+        W = V
+        tot_e = [None] * E
         for s in range(E - 1, -1, -1):
-            e = eps[s]
+            e = unpack(eps_rows[s])
             dst = jnp.maximum(e["dst"], 0)
-            tail = V[dst]
-            for k in range(E - 1, s, -1):
-                tail = jnp.maximum(tail, veps[E - 1 - k][dst])
-            tail = jnp.where(e["dst"] >= 0, tail, NEG_INF)
-            tot_e.append(e["sc"] + tail)
+            tail = jnp.where(e["dst"] >= 0, W[dst], NEG_INF)
+            tot_e[s] = e["sc"] + tail
             # dead entries carry src -1, which would WRAP to S-1 under
             # jit — remap to S so mode="drop" genuinely drops them
             src_ix = jnp.where(e["src"] >= 0, e["src"], S)
-            veps.append(jnp.full((S,), NEG_INF, jnp.float32).at[
-                src_ix].max(tail + e["dl"], mode="drop"))
+            W = W.at[src_ix].max(tail + e["dl"], mode="drop")
         dst = jnp.maximum(em["dst"], 0)
-        tail = V[dst]
-        for s in range(E):
-            tail = jnp.maximum(tail, veps[E - 1 - s][dst])
-        tail = jnp.where(em["dst"] >= 0, tail, NEG_INF)
+        tail = jnp.where(em["dst"] >= 0, W[dst], NEG_INF)
         tot_m = em["sc"] + tail
         src_ix = jnp.where(em["src"] >= 0, em["src"], S)
         Vn = jnp.full((S,), NEG_INF, jnp.float32).at[
             src_ix].max(tail + em["dl"], mode="drop")
         # padding frames record nothing and must pass V through
         Vn = jnp.where(v_t, Vn, V)
-        tot_e_out = (jnp.stack(tot_e[::-1])
+        tot_e_out = (jnp.stack(tot_e)
                      if E else jnp.zeros((0, em["sc"].shape[-1]),
                                          jnp.float32))
         return Vn, (tot_m, tot_e_out)
