@@ -383,6 +383,79 @@ def bench_decode_throughput(B: int = 8, T: int = 1024,
     return seq, many, batch
 
 
+_CPU_REF_SRC = r'''
+import json, time
+import jax
+jax.config.update("jax_platforms", "cpu")   # env vars cannot override
+import numpy as np
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, ".")
+import bench
+
+S, T, U = 8, bench.BENCH_T, bench.BENCH_U
+D, V = bench.BENCH_D, bench.BENCH_V
+step, params, velocity = bench._build_flagship()
+rs = np.random.RandomState(0)
+feats = jnp.asarray(rs.randn(S, T, D).astype(np.float32))
+labels = jnp.asarray(rs.randint(1, V, (S, U)).astype(np.int32))
+in_lens = jnp.asarray(np.full(S, T, np.int32))
+lab_lens = jnp.asarray(np.full(S, U, np.int32))
+mask = jnp.ones((S, T), jnp.float32)
+params, velocity, loss = step(params, velocity, feats, labels,
+                              in_lens, lab_lens, mask)
+float(loss)
+n = 3
+t0 = time.perf_counter()
+for _ in range(n):
+    params, velocity, loss = step(params, velocity, feats, labels,
+                                  in_lens, lab_lens, mask)
+float(loss)
+dt = time.perf_counter() - t0
+train_fps = n * S * T / dt
+
+# decode reference: the SAME 540k-state word-loop graph as
+# bench_decode_rtf, 5 s utterance, identical decoder settings
+from kaldi_aslp_tpu.decoder.beam import BeamSearchDecoder, CsrGraph
+g, lut, num_pdfs = bench.synth_decode_graph()
+dec = BeamSearchDecoder(CsrGraph.from_packed(g), lut,
+                        acoustic_scale=1.0, beam=14.0,
+                        max_active=2048, chunk=128)
+rsd = np.random.RandomState(1)
+Td = 500
+ll = rsd.uniform(-12.0, -10.0, size=(Td, num_pdfs)).astype(np.float32)
+ll[np.arange(Td), rsd.randint(0, num_pdfs, Td)] = -0.5
+lld = jnp.asarray(ll)
+dec.decode(lld)
+t0 = time.perf_counter()
+dec.decode(lld)
+rtf = (time.perf_counter() - t0) / (Td * bench.FRAME_SHIFT_S)
+print(json.dumps({"frames_per_s": train_fps, "decode_rtf": rtf}))
+'''
+
+
+def bench_cpu_reference() -> float:
+    """Measured single-core host-CPU frames/s on the SAME flagship
+    BLSTM-CTC train step (scan path — the natural CPU implementation;
+    jax on CPU picks it automatically, models/recurrent.py:160-162).
+    Anchors ``vs_baseline`` as a measurement instead of the round-1
+    K40 estimate (round-4 verdict item 6).  The reference's own
+    throughput log role: src/aslp-nnetbin/aslp-nnet-train-simple.cc:246-249.
+
+    Runs in a subprocess pinned to one core (taskset) with the cpu
+    backend forced via jax.config (the axon sitecustomize pins
+    JAX_PLATFORMS before any code runs; env vars cannot override it).
+    Batch is reduced to S=8 (wall-clock) and normalized per-frame —
+    CPU time is linear in S at these sizes."""
+    import subprocess
+    r = subprocess.run(
+        ["taskset", "-c", "0", "python", "-c", _CPU_REF_SRC],
+        capture_output=True, text=True, timeout=1200, cwd=".")
+    line = r.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    return float(d["frames_per_s"]), float(d.get("decode_rtf") or 0)
+
+
 def main():
     # cold compiles can take ~10 min through a remote-compile tunnel;
     # never let a secondary metric sink the primary one
@@ -464,17 +537,38 @@ def main():
         tuned = None
     finally:
         signal.alarm(0)
+    cpu_ref_fps = cpu_ref_rtf = None
+    try:
+        signal.alarm(1300)
+        cpu_ref_fps, cpu_ref_rtf = bench_cpu_reference()
+    except Exception:
+        cpu_ref_fps = cpu_ref_rtf = None
+    finally:
+        signal.alarm(0)
+
     out = {
         "metric": "audio-seconds/s/chip (BLSTM-CTC train)",
         "value": round(throughput, 2),
         "unit": "audio-s/s",
-        # mfu_pct is the honest, denominator-free number; vs_baseline
-        # divides by an ESTIMATED 25 audio-s/s for the reference's
-        # K40-era GPU trainer (no published figure exists — BASELINE.md)
         "mfu_pct": round(mfu, 2),
-        "vs_baseline": round(throughput / REF_AUDIO_SECONDS_PER_SEC, 2),
-        "vs_baseline_is_estimate": True,
     }
+    if cpu_ref_fps:
+        # MEASURED: same train step, single host-CPU core (scan path),
+        # ratio of frames/s — see bench_cpu_reference
+        tpu_fps = throughput / FRAME_SHIFT_S
+        out["vs_baseline"] = round(tpu_fps / cpu_ref_fps, 2)
+        out["vs_baseline_is_estimate"] = False
+        out["cpu_ref_frames_per_s"] = round(cpu_ref_fps, 1)
+        if cpu_ref_rtf and rtf:
+            # same graph/settings, single CPU core vs the chip
+            out["vs_baseline_decode"] = round(cpu_ref_rtf / rtf, 2)
+            out["cpu_ref_decode_rtf"] = round(cpu_ref_rtf, 3)
+    else:
+        # fallback: the round-1 ESTIMATE of 25 audio-s/s for the
+        # reference's K40-era GPU trainer (no published figure exists)
+        out["vs_baseline"] = round(
+            throughput / REF_AUDIO_SECONDS_PER_SEC, 2)
+        out["vs_baseline_is_estimate"] = True
     if wire_mbps is not None:
         # the denominator every corpus_fed_* number is byte-bound by
         out["tunnel_h2d_MBps"] = round(wire_mbps, 1)

@@ -802,13 +802,14 @@ class BeamSearchDecoder:
         self.last_record_drops = 0
         # compact the prune scan's input planes to the measured live
         # width before the backward pass (see _compact_record_chunk).
-        # Default OFF: on the 540k word-loop bench the em stage is
-        # beam-saturated (live = A_em) so only the eps planes shrink
-        # (8192 -> 2048), and the batched 6-operand sorts cost what the
-        # narrower prune saves (measured round 4: 5.01 s with vs 5.08 s
-        # without at T=6000).  Turn on for graphs whose live record
-        # counts sit far below the budgets.
-        self.compact_prune_inputs = False
+        # Was net-zero in round 4 (5.01 s with vs 5.08 s without at
+        # T=6000: the veps-table prune was gather-heavy and only the
+        # eps planes shrink, 8192 -> 2048).  The round-5 running-table
+        # prune rewrite made the scan SCATTER-dominated (measured
+        # ~62 us per 8192-wide scatter-max vs ~24 us gathers), and
+        # scatter cost is proportional to plane width — compaction now
+        # wins: 4.64 s vs 5.21 s at T=6000, identical lattices.
+        self.compact_prune_inputs = True
         # extra slack on the device-side record prune: the recorded
         # scores are f32 running sums over the whole utterance, so
         # near-threshold arcs carry O(0.1) accumulated rounding noise

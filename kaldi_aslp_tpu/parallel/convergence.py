@@ -82,6 +82,7 @@ def run_convergence_comparison(
     strategies: Sequence[str] = ("bsp", "bmuf", "easgd"),
     task: str = "affine",
     lr_halve_at: Sequence[int] = (),
+    masgd_momentum: float = 0.9,
 ) -> Dict[str, List[float]]:
     """Returns {strategy: [...]}: held-out xent of the consensus model
     after each round (index 0 = before any training), one list per
@@ -226,7 +227,8 @@ def run_convergence_comparison(
             meshw = make_mesh(("worker",), devices=devices)
             ps_step = make_ps_round_step(loss_fn, update, meshw,
                                          inner_steps=1)
-        state = PsState(params0, n_devices, PsOptions(mode=mode))
+        state = PsState(params0, n_devices, PsOptions(
+            mode=mode, masgd_momentum=masgd_momentum))
         opt_w = stack_worker_states(init_velocity(params0), n_devices)
         traj = [float(eval_loss(state.server))]
         for i, batch in enumerate(rounds):
@@ -281,7 +283,9 @@ def run_comparison_subprocess(n_devices: int, rounds: int, lr: float,
                               strategies: Sequence[str] = ALL_STRATEGIES,
                               repo_root: Optional[str] = None,
                               retries: int = 3,
-                              timeout_s: int = 1800) -> Dict[str, list]:
+                              timeout_s: int = 1800,
+                              masgd_momentum: float = 0.9
+                              ) -> Dict[str, list]:
     """Run the hard_blstm comparison with ONE SUBPROCESS PER STRATEGY,
     retrying each on failure, and merge the trajectories.
 
@@ -314,7 +318,8 @@ def run_comparison_subprocess(n_devices: int, rounds: int, lr: float,
                 p = subprocess.run(
                     [sys.executable, "-m",
                      "kaldi_aslp_tpu.parallel.convergence",
-                     str(n_devices), str(rounds), str(lr), strat],
+                     str(n_devices), str(rounds), str(lr), strat,
+                     str(masgd_momentum)],
                     capture_output=True, text=True, timeout=timeout_s,
                     env=env, cwd=root)
                 if p.returncode == 0:
@@ -347,8 +352,9 @@ if __name__ == "__main__":
     # (masgd overshoots late at the shared lr; reported, not asserted)
     strats = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 \
         else ALL_STRATEGIES
+    masgd_m = float(sys.argv[5]) if len(sys.argv) > 5 else 0.9
     res = run_convergence_comparison(
         n, n_rounds=rounds, learn_rate=lr, per_device_batch=8,
-        strategies=strats, task="hard_blstm")
+        strategies=strats, task="hard_blstm", masgd_momentum=masgd_m)
     print(json.dumps({k: [round(float(x), 4) for x in v]
                       for k, v in res.items()}))
