@@ -258,14 +258,33 @@ class DeltasTrainer:
 
 
 def make_cd_decode_graph(lang: Lang, G: Fst, trainer: DeltasTrainer,
-                         sil_prob: float = 0.5):
-    """CD HCLG: L∘G → C → H (reference: mkgraph.sh triphone path).
+                         sil_prob: float = 0.5, optimize: bool = True):
+    """CD HCLG: det+min(L∘G) → C → H (reference: mkgraph.sh triphone
+    path — fsttablecompose | fstdeterminizestar | fstminimizeencoded
+    before fstcomposecontext).
 
-    Must be called BEFORE make_transition_model/train so decode-graph
-    windows are in the triple enumeration — or call
-    trainer.make_transition_model() again after to refresh."""
+    Two round-5 fixes from the tri-inversion diagnosis (a 0-split
+    control tree decoded WORSE than the equivalent monophone system):
+      * LG is determinized+minimized like the monophone path
+        (make_decode_graph) — the raw compose carries duplicate-path
+        states that eat frontier budget at a fixed max_active;
+      * the freshly re-enumerated transition model COPIES the trained
+        MLE transition probs from the training model instead of
+        silently reverting to topology priors."""
+    trained_tm = trainer.trans_model
     L = make_lexicon_fst(lang, sil_prob=sil_prob).arc_sort("olabel")
     lg = L.compose(G)
+    if optimize:
+        from kaldi_aslp_tpu.fst.determinize import (
+            determinize,
+            minimize_encoded,
+        )
+        try:
+            lg = minimize_encoded(determinize(lg.remove_epsilon()))
+        except RuntimeError:
+            pass  # non-determinizable G (rare): keep the raw compose
     clg, _ = compose_context_shared(lg, trainer.windows)
     tm = trainer.make_transition_model()
+    if trained_tm is not None:
+        tm.copy_log_probs_from(trained_tm)
     return expand_hmm_cd(clg, tm, trainer.windows, trainer.tree), tm

@@ -79,6 +79,26 @@ class TransitionModel:
                     max(p, 1e-10)
                 )
 
+    def copy_log_probs_from(self, other: "TransitionModel") -> None:
+        """Transfer trained transition probabilities from ``other`` for
+        every (phone, hmm_state, pdf) triple both models share.
+
+        The CD decode-graph transition model is re-enumerated over the
+        union of training + decode context windows, so it is a FRESH
+        object — without this transfer its arc costs silently revert
+        to topology priors while the monophone decode graph keeps its
+        MLE probs (the round-5 tri-inversion diagnosis).  The reference
+        never hits this because one TransitionModel object serves both
+        training and decode (src/hmm/transition-model.cc)."""
+        for key, ts in self._state_index.items():
+            ots = other._state_index.get(key)
+            if ots is None:
+                continue
+            n = len(self._arcs[ts])
+            self.log_probs[self._tid_start[ts]:self._tid_start[ts] + n] \
+                = other.log_probs[other._tid_start[ots]:
+                                  other._tid_start[ots] + n]
+
     # -- lookups (reference: transition-model.h accessors) ------------------
     def transition_state(self, phone: int, hmm_state: int,
                          pdf: int) -> int:

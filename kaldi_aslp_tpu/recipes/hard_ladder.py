@@ -189,68 +189,78 @@ def run(root: str = "exp_hard", scale: str = "full",
                                  lmwt_range, beam=GMM_BEAM)
         return wer, float("nan"), test_ll
 
+    # the GMM bootstrap chain feeds mono/tri/dnn; a ctc-only
+    # invocation skips it entirely (CTC labels come from the lexicon,
+    # not from alignments — see CtcRecipe docstring), enabling stage
+    # parallelism: run --stages=mono,tri,dnn and --stages=ctc as two
+    # concurrent processes over the SAME seed-deterministic corpus
+    need_gmm = any(s in stages for s in ("mono", "tri", "dnn"))
+
     # ---- stage 1: monophones (train_mono.sh) ----
-    mono = MonophoneTrainer(lang, opts=sc.mono)
-    am0, tm0 = mono.train(train_feats, train_texts)
-    hclg0 = make_decode_graph(lang, G, tm0)
-    lut0 = tm0.alignment_to_pdfs(np.arange(tm0.num_transition_ids + 1))
-    packed0 = PackedGraph.from_fst(hclg0)
-    if "mono" in stages:
-        wer, dev_wer, test_ll0 = score_stage("mono", packed0, lut0,
-                                             am0.pack())
-        results["mono"] = wer
-        dev_results["mono"] = dev_wer
-        logger.info("mono WER %.2f (dev %.2f; reference role: egs/rm "
-                    "mono 8.74%%, RESULTS:6)", wer, dev_wer)
-        emit("mono")
+    if not need_gmm:
+        pass
     else:
-        am0p = am0.pack()
-        test_ll0 = {u: np.asarray(gmm_loglikes(jnp.asarray(f), *am0p))
-                    for u, f in test_feats.items()}
-    artifacts.update(packed0=packed0, lut0=lut0, test_ll0=test_ll0,
-                     refs=refs)
+        mono = MonophoneTrainer(lang, opts=sc.mono)
+        am0, tm0 = mono.train(train_feats, train_texts)
+        hclg0 = make_decode_graph(lang, G, tm0)
+        lut0 = tm0.alignment_to_pdfs(np.arange(tm0.num_transition_ids + 1))
+        packed0 = PackedGraph.from_fst(hclg0)
+        if "mono" in stages:
+            wer, dev_wer, test_ll0 = score_stage("mono", packed0, lut0,
+                                                 am0.pack())
+            results["mono"] = wer
+            dev_results["mono"] = dev_wer
+            logger.info("mono WER %.2f (dev %.2f; reference role: egs/rm "
+                        "mono 8.74%%, RESULTS:6)", wer, dev_wer)
+            emit("mono")
+        else:
+            am0p = am0.pack()
+            test_ll0 = {u: np.asarray(gmm_loglikes(jnp.asarray(f), *am0p))
+                        for u, f in test_feats.items()}
+        artifacts.update(packed0=packed0, lut0=lut0, test_ll0=test_ll0,
+                         refs=refs)
 
-    alis0 = mono.align(am0, train_feats, train_texts)
+        alis0 = mono.align(am0, train_feats, train_texts)
 
-    # ---- stage 2: deltas triphones (train_deltas.sh) ----
-    tri = DeltasTrainer(lang, mono.topo, sc.tri)
-    am1, tm1 = tri.train(train_feats, train_texts, tm0, alis0)
-    hclg1, tm1d = make_cd_decode_graph(lang, G, tri)
-    lut1 = tm1d.alignment_to_pdfs(np.arange(tm1d.num_transition_ids + 1))
-    if "tri" in stages:
-        wer, dev_wer, _ = score_stage("tri", PackedGraph.from_fst(hclg1),
-                                      lut1, am1.pack())
-        results["tri"] = wer
-        dev_results["tri"] = dev_wer
-        logger.info("tri WER %.2f (dev %.2f; reference role: egs/rm "
-                    "tri1 3.26%%, RESULTS:9)", wer, dev_wer)
-        emit("tri")
+        # ---- stage 2: deltas triphones (train_deltas.sh) ----
+        tri = DeltasTrainer(lang, mono.topo, sc.tri)
+        am1, tm1 = tri.train(train_feats, train_texts, tm0, alis0)
+        hclg1, tm1d = make_cd_decode_graph(lang, G, tri)
+        lut1 = tm1d.alignment_to_pdfs(np.arange(tm1d.num_transition_ids + 1))
+        if "tri" in stages:
+            wer, dev_wer, _ = score_stage("tri", PackedGraph.from_fst(hclg1),
+                                          lut1, am1.pack())
+            results["tri"] = wer
+            dev_results["tri"] = dev_wer
+            logger.info("tri WER %.2f (dev %.2f; reference role: egs/rm "
+                        "tri1 3.26%%, RESULTS:9)", wer, dev_wer)
+            emit("tri")
 
-    # ---- stage 3: hybrid DNN on the TRIPHONE alignments (run_dnn.sh
-    # on exp/tri ali) ----
-    if "dnn" in stages:
-        from kaldi_aslp_tpu.recipes.hybrid import HybridRecipe, \
-            HybridRecipeOptions
-        pdf_targets = {u: tm1.alignment_to_pdfs(a)
-                       for u, a in tri._final_alignments.items()}
-        hyb = HybridRecipe(lang, HybridRecipeOptions(
-            model_type="dnn", hidden_dim=sc.dnn_hidden,
-            num_layers=sc.dnn_layers, splice_context=4,
-            max_iters=sc.dnn_iters, learn_rate=0.2,
-            acoustic_scale=0.1,
-            lmwt_sweep=" ".join(str(x) for x in lmwt_range),
-            decode_beam=32.0))
-        st = hyb.run(train_feats, train_texts, test_feats,
-                     corpus["test_texts"], grammar=G,
-                     work_dir=os.path.join(root, "dnn"),
-                     bootstrap=(pdf_targets, tm1.num_pdfs, hclg1, lut1),
-                     dev_feats=dev_feats or None,
-                     dev_texts=corpus.get("dev_texts") or None)
-        results["dnn"] = st.wer
-        dev_results["dnn"] = getattr(hyb, "last_dev_wer", float("nan"))
-        logger.info("dnn WER %.2f (reference role: run_dnn.sh on tri "
-                    "alignments)", st.wer)
-        emit("dnn")
+        # ---- stage 3: hybrid DNN on the TRIPHONE alignments (run_dnn.sh
+        # on exp/tri ali) ----
+        if "dnn" in stages:
+            from kaldi_aslp_tpu.recipes.hybrid import HybridRecipe, \
+                HybridRecipeOptions
+            pdf_targets = {u: tm1.alignment_to_pdfs(a)
+                           for u, a in tri._final_alignments.items()}
+            hyb = HybridRecipe(lang, HybridRecipeOptions(
+                model_type="dnn", hidden_dim=sc.dnn_hidden,
+                num_layers=sc.dnn_layers, splice_context=4,
+                max_iters=sc.dnn_iters, learn_rate=0.2,
+                acoustic_scale=0.1,
+                lmwt_sweep=" ".join(str(x) for x in lmwt_range),
+                decode_beam=32.0))
+            st = hyb.run(train_feats, train_texts, test_feats,
+                         corpus["test_texts"], grammar=G,
+                         work_dir=os.path.join(root, "dnn"),
+                         bootstrap=(pdf_targets, tm1.num_pdfs, hclg1, lut1),
+                         dev_feats=dev_feats or None,
+                         dev_texts=corpus.get("dev_texts") or None)
+            results["dnn"] = st.wer
+            dev_results["dnn"] = getattr(hyb, "last_dev_wer", float("nan"))
+            logger.info("dnn WER %.2f (reference role: run_dnn.sh on tri "
+                        "alignments)", st.wer)
+            emit("dnn")
 
     # ---- stage 4: BLSTM-CTC (aslp_scripts/ctc chain) ----
     if "ctc" in stages:
