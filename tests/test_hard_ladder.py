@@ -130,8 +130,25 @@ def test_medium_ladder_ordering():
     """The reference property the ladder exists to reproduce: each
     stage improves on the last (egs/rm/s5/RESULTS:6-15 mono 8.74 ->
     tri2b 2.98; egs/hkust/s5/RESULTS:13-18 DNN 39.42 -> LSTM 37.61).
-    WER is 'lower is better', so the assertion chain is descending."""
-    results = hard_ladder.run("/tmp/exp_hard_medium", scale="medium")
+    WER is 'lower is better', so the assertion chain is descending.
+
+    KALDI_ASLP_MEDIUM_RESULTS=<run dir> asserts over a completed
+    run's results.jsonl (the per-stage rows the ladder emits as they
+    land) instead of re-running the multi-hour pipeline in-process —
+    same corpus, same code, same rows as STATUS.md publishes."""
+    rdir = os.environ.get("KALDI_ASLP_MEDIUM_RESULTS")
+    if rdir:
+        import json
+        results = {}
+        with open(os.path.join(rdir, "results.jsonl")) as f:
+            for line in f:
+                row = json.loads(line)
+                assert row["scale"] == "medium", row
+                results[row["stage"]] = row["test_wer"]
+        assert set(results) >= {"mono", "tri", "dnn", "ctc"}, results
+    else:
+        results = hard_ladder.run("/tmp/exp_hard_medium",
+                                  scale="medium")
     assert results["mono"] > results["tri"], results
     assert results["tri"] > results["dnn"], results
     assert results["dnn"] >= results["ctc"] - 2.0, results
