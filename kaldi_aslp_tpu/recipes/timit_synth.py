@@ -114,6 +114,15 @@ def prepare_cd_phone_system(lang, tm_tri, tri_alis, train_feats,
                                          min_frames=min_frames)
     L = make_lexicon_fst(lang).arc_sort("olabel")
     lg = L.compose(G)
+    # det+min like the mono/CD decode-graph paths (round-5 fix: the
+    # raw compose carries duplicate-path states that eat frontier
+    # budget at fixed max_active)
+    from kaldi_aslp_tpu.fst.determinize import determinize, \
+        minimize_encoded
+    try:
+        lg = minimize_encoded(determinize(lg.remove_epsilon()))
+    except RuntimeError:
+        pass
     windows = ContextWindows()
     clg, windows = compose_context_shared(lg, windows)
     tm_cd = TransitionModel(
