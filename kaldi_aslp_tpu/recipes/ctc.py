@@ -128,6 +128,17 @@ class CtcRecipe:
         trainer = CtcTrainer(net, NnetTrainOptions(momentum=opts.momentum),
                              transport=opts.transport)
         cache = trainer.make_cache()  # HBM replay from epoch 2 on
+        # the CTC recipe checkpoints NO per-iteration model, so a
+        # newbob schedule resumed from a dead run would drive a FRESH
+        # init with a stale iter/lr/halving state (observed round 5:
+        # the stale best-cv REJECTed every fresh epoch and the lr
+        # collapsed at the blank saddle) — always start clean
+        import os as _os0
+        _stale = _os0.path.join(work_dir, "newbob_state.json")
+        if _os0.path.exists(_stale):
+            logger.warning("removing stale newbob state %s (no model "
+                           "checkpoint to resume with)", _stale)
+            _os0.remove(_stale)
         sched = NewbobScheduler(
             work_dir, initial_lr=opts.learn_rate,
             opts=NewbobOptions(max_iters=opts.max_iters,

@@ -165,6 +165,15 @@ class HybridRecipe:
         trainer = FrameTrainer(
             net, NnetTrainOptions(momentum=opts.momentum)
         )
+        # a schedule state without its best-model checkpoint cannot be
+        # resumed (fresh params + stale lr/halving state — the round-5
+        # CTC footgun); drop it and start clean
+        _stale = os.path.join(work_dir, "newbob_state.json")
+        _best = os.path.join(work_dir, "nnet_best.knet")
+        if os.path.exists(_stale) and not os.path.exists(_best):
+            logger.warning("removing stale newbob state %s (no model "
+                           "checkpoint to resume with)", _stale)
+            os.remove(_stale)
         sched = NewbobScheduler(
             work_dir, initial_lr=opts.learn_rate,
             opts=NewbobOptions(max_iters=opts.max_iters),
