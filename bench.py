@@ -595,12 +595,15 @@ def main():
         out["decode10s_tuned_pipelined_audio_s_per_s"] = round(
             tuned[1], 1)
         out["decode10s_tuned_batch8_audio_s_per_s"] = round(tuned[2], 1)
-        # measured WER license for the K=512 operating point: the
-        # NN-side frontier-budget dev sweep on the trained hard-ladder
-        # CTC system (recipes/decode_budget_sweep.nn_budget_sweep,
-        # NN_BUDGET_SWEEP_DEV 2048=27.77 1024=27.77 512=27.98
-        # 256=28.63) — K=512 costs +0.21 dev WER vs the full budget
-        out["decode10s_tuned_dev_wer_delta"] = 0.21
+        # measured WER license for the K=512 operating point: NN-side
+        # frontier-budget dev sweeps on trained hard-ladder CTC
+        # systems (recipes/decode_budget_sweep.nn_budget_sweep).  Two
+        # measurements: fixed-scale decode (NN_BUDGET_SWEEP_DEV
+        # 2048=27.77 1024=27.77 512=27.98 256=28.63 -> +0.21) and the
+        # dev-swept 0.7/0.5 operating point (2048=24.95 1024=25.16
+        # 512=25.81 256=25.60 -> +0.86); the worse of the two is
+        # quoted
+        out["decode10s_tuned_dev_wer_delta"] = 0.86
     print(json.dumps(out))
 
 
