@@ -203,3 +203,52 @@ def test_align_batched_matches_per_utterance(rng):
         assert bw == words, u
         assert np.array_equal(bali, ali), u
         assert abs(bscore - score) < 1e-3, u
+
+
+def test_transition_prob_transfer_to_cd_model():
+    """copy_log_probs_from carries trained MLE transition probs into a
+    re-enumerated (CD) transition model for every shared triple, while
+    new triples keep topology priors (the round-5 tri-inversion fix:
+    make_cd_decode_graph's fresh model must not revert to priors)."""
+    topo = HmmTopology.default([1, 2], sil_phones=[2])
+    pdf_map = {}
+    k = 0
+    for p in (1, 2):
+        for c in range(topo.entry(p).num_pdf_classes):
+            pdf_map[(p, c)] = k
+            k += 1
+    tm = TransitionModel(topo, lambda p, c: pdf_map[(p, c)])
+    # train: skewed self-loop counts move probs far from priors
+    counts = np.zeros(tm.num_transition_ids + 1)
+    for tid in range(1, tm.num_transition_ids + 1):
+        counts[tid] = 90.0 if tm.is_self_loop(tid) else 10.0
+    tm.mle_update(counts)
+
+    # CD re-enumeration: same triples PLUS a context-split pdf for
+    # phone 1 state 0 (a new leaf id)
+    triples = [(s.phone, s.hmm_state, s.pdf) for s in tm.states[1:]]
+    new_pdf = max(t[2] for t in triples) + 1
+    triples.append((1, 0, new_pdf))
+    tm_cd = TransitionModel(topo, triples=triples)
+    before = tm_cd.log_probs.copy()
+    tm_cd.copy_log_probs_from(tm)
+
+    for s in tm.states[1:]:
+        ts_old = tm.transition_state(s.phone, s.hmm_state, s.pdf)
+        ts_new = tm_cd.transition_state(s.phone, s.hmm_state, s.pdf)
+        n = len(tm._arcs[ts_old])
+        np.testing.assert_allclose(
+            tm_cd.log_probs[tm_cd._tid_start[ts_new]:
+                            tm_cd._tid_start[ts_new] + n],
+            tm.log_probs[tm._tid_start[ts_old]:
+                         tm._tid_start[ts_old] + n])
+    # trained probs really differ from priors (the transfer did work)
+    assert not np.allclose(tm_cd.log_probs, before)
+    # the new (unseen) triple keeps its topology prior
+    ts_fresh = tm_cd.transition_state(1, 0, new_pdf)
+    n = len(tm_cd._arcs[ts_fresh])
+    np.testing.assert_allclose(
+        tm_cd.log_probs[tm_cd._tid_start[ts_fresh]:
+                        tm_cd._tid_start[ts_fresh] + n],
+        before[tm_cd._tid_start[ts_fresh]:
+               tm_cd._tid_start[ts_fresh] + n])
