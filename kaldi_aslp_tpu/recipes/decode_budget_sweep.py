@@ -58,8 +58,8 @@ def run(scale: str = "medium",
     amp = am.pack()
     dev_feats = corpus["dev_feats"] or corpus["test_feats"]
     dev_texts = corpus["dev_texts"] or corpus["test_texts"]
-    dev_ll = {u: np.asarray(gmm_loglikes(jnp.asarray(f), *amp))
-              for u, f in dev_feats.items()}
+    from kaldi_aslp_tpu.gmm.diag_gmm import corpus_loglikes
+    dev_ll = corpus_loglikes(dev_feats, sorted(dev_feats), amp)
     refs = {u: [lang.words.id(w) for w in s]
             for u, s in dev_texts.items()}
     logger.info("graph: %d states / %d arcs; %d dev utts",

@@ -38,6 +38,7 @@ from kaldi_aslp_tpu.fst import make_decode_graph
 from kaldi_aslp_tpu.fst.lang import arpa_to_fst
 from kaldi_aslp_tpu.gmm import MonophoneTrainer, MonoTrainOptions, \
     gmm_loglikes
+from kaldi_aslp_tpu.gmm.diag_gmm import corpus_loglikes
 from kaldi_aslp_tpu.gmm.deltas import (
     DeltasTrainer,
     DeltasTrainOptions,
@@ -172,13 +173,14 @@ def run(root: str = "exp_hard", scale: str = "full",
         corpora without one).  Returns (test_wer, dev_wer, test_ll).
         Dev loglikes are stashed in artifacts for follow-on probes
         (decode budget sweeps reuse them without re-training)."""
-        test_ll = {u: np.asarray(gmm_loglikes(jnp.asarray(f),
-                                              *am_packed))
-                   for u, f in test_feats.items()}
+        # bucketed block loglikes: the per-utterance jit compiles one
+        # program PER DISTINCT LENGTH — harmless locally, hours of
+        # remote compiles through the TPU tunnel (round-5 lesson)
+        test_ll = corpus_loglikes(test_feats, sorted(test_feats),
+                                  am_packed)
         if dev_feats:
-            dev_ll = {u: np.asarray(gmm_loglikes(jnp.asarray(f),
-                                                 *am_packed))
-                      for u, f in dev_feats.items()}
+            dev_ll = corpus_loglikes(dev_feats, sorted(dev_feats),
+                                     am_packed)
             artifacts[f"dev_ll_{name}"] = dev_ll
             artifacts["dev_refs"] = dev_refs
             wer, dev_wer, _ = decode_wer_dev_test(
@@ -215,8 +217,8 @@ def run(root: str = "exp_hard", scale: str = "full",
             emit("mono")
         else:
             am0p = am0.pack()
-            test_ll0 = {u: np.asarray(gmm_loglikes(jnp.asarray(f), *am0p))
-                        for u, f in test_feats.items()}
+            test_ll0 = corpus_loglikes(test_feats, sorted(test_feats),
+                                       am0p)
         artifacts.update(packed0=packed0, lut0=lut0, test_ll0=test_ll0,
                          refs=refs)
 
