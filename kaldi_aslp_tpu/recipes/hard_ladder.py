@@ -62,6 +62,15 @@ logger = get_logger("hard_ladder")
 # (max_active), not the beam, bounds per-frame work in decoder/beam.py.
 GMM_BEAM = 96.0
 
+# GMM-stage frontier budget.  2048 was sized on the small corpus; at
+# medium scale the CD graph (250 tied states x denser LM) is
+# budget-starved — measured round 5 on the SAME tri model: dev WER
+# 30.80 @ K=2048 -> 28.63 @ K=8192, which flips the mono/tri ordering
+# (mono dev 29.07).  The reference decodes GMM stages at
+# --max-active=7000 by default (steps/decode.sh); 8192 is the nearest
+# power of two.
+GMM_MAX_ACTIVE = 8192
+
 
 class _Scale:
     """Corpus + model sizes per scale preset."""
@@ -185,10 +194,12 @@ def run(root: str = "exp_hard", scale: str = "full",
             artifacts["dev_refs"] = dev_refs
             wer, dev_wer, _ = decode_wer_dev_test(
                 packed, lut, dev_ll, dev_refs, test_ll, refs, 0.1,
-                lmwt_range, beam=GMM_BEAM)
+                lmwt_range, beam=GMM_BEAM,
+                max_active=GMM_MAX_ACTIVE)
             return wer, dev_wer, test_ll
         wer, _ = decode_wer_beam(packed, lut, test_ll, refs, 0.1,
-                                 lmwt_range, beam=GMM_BEAM)
+                                 lmwt_range, beam=GMM_BEAM,
+                                 max_active=GMM_MAX_ACTIVE)
         return wer, float("nan"), test_ll
 
     # the GMM bootstrap chain feeds mono/tri/dnn; a ctc-only
@@ -322,10 +333,12 @@ def pruning_sensitivity(artifacts, degraded_beam: float = 6.0,
     (round-2 verdict item 1).  Returns (healthy_wer, degraded_wer)."""
     healthy, _ = decode_wer_beam(
         artifacts["packed0"], artifacts["lut0"], artifacts["test_ll0"],
-        artifacts["refs"], 0.1, lmwt_range, beam=GMM_BEAM)
+        artifacts["refs"], 0.1, lmwt_range, beam=GMM_BEAM,
+        max_active=GMM_MAX_ACTIVE)
     degraded, _ = decode_wer_beam(
         artifacts["packed0"], artifacts["lut0"], artifacts["test_ll0"],
-        artifacts["refs"], 0.1, lmwt_range, beam=degraded_beam)
+        artifacts["refs"], 0.1, lmwt_range, beam=degraded_beam,
+        max_active=GMM_MAX_ACTIVE)
     logger.info("pruning sensitivity: healthy %.2f vs degraded %.2f "
                 "(beam %.0f -> %.0f)", healthy, degraded, GMM_BEAM,
                 degraded_beam)
