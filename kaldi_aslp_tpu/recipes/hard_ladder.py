@@ -62,13 +62,15 @@ logger = get_logger("hard_ladder")
 # (max_active), not the beam, bounds per-frame work in decoder/beam.py.
 GMM_BEAM = 96.0
 
-# GMM-stage frontier budget.  2048 was sized on the small corpus; at
+# GMM-stage frontier budget, PER SCALE (set in _Scale).  2048 was
+# sized on the small corpus, whose tiny graphs never starve; at
 # medium scale the CD graph (250 tied states x denser LM) is
 # budget-starved — measured round 5 on the SAME tri model: dev WER
 # 30.80 @ K=2048 -> 28.63 @ K=8192, which flips the mono/tri ordering
 # (mono dev 29.07).  The reference decodes GMM stages at
 # --max-active=7000 by default (steps/decode.sh); 8192 is the nearest
-# power of two.
+# power of two.  Small keeps 2048 so the suite-tier ladder stays
+# minutes, not tens of minutes.
 GMM_MAX_ACTIVE = 8192
 
 
@@ -90,6 +92,7 @@ class _Scale:
                 realign_iters="2 4 6", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 128, 2, 8
             self.ctc_hidden, self.ctc_layers, self.ctc_iters = 96, 2, 220
+            self.gmm_max_active = 2048
         elif name == "medium":
             # 1500 train utts (~78 min audio): the round-4 500-utt run
             # was DATA-STARVED for context-dependent modelling — tri
@@ -112,6 +115,7 @@ class _Scale:
                 realign_iters="2 4 6 8", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 256, 3, 12
             self.ctc_hidden, self.ctc_layers, self.ctc_iters = 160, 3, 60
+            self.gmm_max_active = GMM_MAX_ACTIVE
         else:                   # full
             self.corpus = HardCorpusOptions(
                 num_words=5000, num_train_speakers=32,
@@ -126,6 +130,7 @@ class _Scale:
                 realign_iters="2 4 6 8 10", tree_min_gain=20.0)
             self.dnn_hidden, self.dnn_layers, self.dnn_iters = 512, 4, 14
             self.ctc_hidden, self.ctc_layers, self.ctc_iters = 320, 3, 60
+            self.gmm_max_active = GMM_MAX_ACTIVE
 
 
 def run(root: str = "exp_hard", scale: str = "full",
@@ -195,11 +200,11 @@ def run(root: str = "exp_hard", scale: str = "full",
             wer, dev_wer, _ = decode_wer_dev_test(
                 packed, lut, dev_ll, dev_refs, test_ll, refs, 0.1,
                 lmwt_range, beam=GMM_BEAM,
-                max_active=GMM_MAX_ACTIVE)
+                max_active=sc.gmm_max_active)
             return wer, dev_wer, test_ll
         wer, _ = decode_wer_beam(packed, lut, test_ll, refs, 0.1,
                                  lmwt_range, beam=GMM_BEAM,
-                                 max_active=GMM_MAX_ACTIVE)
+                                 max_active=sc.gmm_max_active)
         return wer, float("nan"), test_ll
 
     # the GMM bootstrap chain feeds mono/tri/dnn; a ctc-only
@@ -333,12 +338,10 @@ def pruning_sensitivity(artifacts, degraded_beam: float = 6.0,
     (round-2 verdict item 1).  Returns (healthy_wer, degraded_wer)."""
     healthy, _ = decode_wer_beam(
         artifacts["packed0"], artifacts["lut0"], artifacts["test_ll0"],
-        artifacts["refs"], 0.1, lmwt_range, beam=GMM_BEAM,
-        max_active=GMM_MAX_ACTIVE)
+        artifacts["refs"], 0.1, lmwt_range, beam=GMM_BEAM)
     degraded, _ = decode_wer_beam(
         artifacts["packed0"], artifacts["lut0"], artifacts["test_ll0"],
-        artifacts["refs"], 0.1, lmwt_range, beam=degraded_beam,
-        max_active=GMM_MAX_ACTIVE)
+        artifacts["refs"], 0.1, lmwt_range, beam=degraded_beam)
     logger.info("pruning sensitivity: healthy %.2f vs degraded %.2f "
                 "(beam %.0f -> %.0f)", healthy, degraded, GMM_BEAM,
                 degraded_beam)
